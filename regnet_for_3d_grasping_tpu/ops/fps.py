@@ -1,0 +1,70 @@
+"""Farthest point sampling for TPU.
+
+TPU-native equivalent of the reference CUDA kernel
+``csrc/sampling_kernel.cu:42-170`` (iterative FPS, one block per batch,
+shared-memory argmax).  FPS is inherently sequential over samples; the TPU
+formulation runs one ``lax.scan`` over samples with the full [B, N] distance
+update and argmax vectorized on the VPU each step, so all batch elements
+advance in lockstep.
+
+Extensions over the reference op:
+  * an optional validity ``mask`` — the reference instead gathers the positive
+    subset on the host (``get_regiondataset.py:354-434``); here masked points
+    simply never win the argmax, keeping shapes static;
+  * rows with no valid point fall back to treating every point as valid
+    (matching the reference's random-centers fallback semantics,
+    ``get_regiondataset.py:427-429``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INF = jnp.float32(1e10)
+
+
+def farthest_point_sample(xyz: jax.Array, num_samples: int,
+                          mask: jax.Array | None = None) -> jax.Array:
+    """Iteratively sample the `num_samples` mutually farthest points.
+
+    Args:
+      xyz: [B, N, 3] point coordinates.
+      num_samples: number of centroids to select (static).
+      mask: optional [B, N] bool; False points are never selected while any
+        True point remains unselected.
+
+    Returns:
+      [B, num_samples] int32 indices into N.  The first selected index is the
+      first valid point (index 0 when unmasked, as in the CUDA kernel's
+      "explicitly choose the first point" — sampling_kernel.cu:65).
+      When fewer than `num_samples` points are valid, the remaining slots
+      repeat already-selected valid points (static-shape analogue of the
+      reference's random-with-replacement padding).
+    """
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+
+    if mask is None:
+        valid = jnp.ones((B, N), dtype=bool)
+    else:
+        valid = mask
+        any_valid = jnp.any(valid, axis=1, keepdims=True)
+        valid = jnp.where(any_valid, valid, True)
+
+    # Invalid points carry a sentinel distance of -1 so they lose every argmax
+    # against valid points (whose min-distance is >= 0).
+    dist = jnp.where(valid, _INF, jnp.float32(-1.0))
+    start = jnp.argmax(valid, axis=1).astype(jnp.int32)
+
+    def step(carry, _):
+        dist, farthest = carry
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)
+        d = jnp.sum(jnp.square(xyz - centroid), axis=-1)
+        dist = jnp.where(dist < 0, dist, jnp.minimum(dist, d))
+        nxt = jnp.argmax(dist, axis=1).astype(jnp.int32)
+        return (dist, nxt), farthest
+
+    (_, _), idx = lax.scan(step, (dist, start), None, length=num_samples)
+    return jnp.transpose(idx)  # [B, num_samples]

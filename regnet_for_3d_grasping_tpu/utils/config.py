@@ -1,0 +1,187 @@
+"""Single configuration tree for the whole framework.
+
+The reference duplicates its constants across three files with
+intentionally different values between train and inference
+(``/root/reference/train.py:70-90``, ``/root/reference/test.py:61-81``,
+``/root/reference/dataset_utils/eval_score/configs/config.py``).  Here one
+dataclass tree holds everything, with ``train_config()`` / ``infer_config()``
+presets reproducing the two reference presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GripperConfig:
+    """Two-finger parallel gripper geometry.
+
+    Mirrors reference ``train.py:74`` (width/height/depth) and
+    ``eval_score/configs/config.py:36-43`` (finger geometry).
+    """
+
+    width: float = 0.08    # max opening between fingers (y extent)
+    height: float = 0.010  # hand thickness (z extent)
+    depth: float = 0.06    # finger length along approach axis (x extent)
+
+    # Evaluator-side geometry (config.py:37-43)
+    finger_width: float = 0.01
+    half_hand_thickness: float = 0.005
+    finger_length: float = 0.06
+    bottom_length: float = 0.06
+
+    table_height: float = 0.75
+
+    @property
+    def hand_half_bottom_width(self) -> float:
+        return self.width / 2 + self.finger_width
+
+    @property
+    def hand_half_bottom_space(self) -> float:
+        return self.width / 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture (reference ``multi_model/utils/pointnet2.py``)."""
+
+    input_channels: int = 6          # xyz + rgb
+    # PointNet2Seg backbone (pointnet2.py:40-46)
+    num_centroids: Tuple[int, ...] = (5120, 1024, 256)
+    radii: Tuple[float, ...] = (0.02, 0.08, 0.32)
+    num_neighbours: Tuple[int, ...] = (64, 64, 64)
+    sa_channels: Tuple[Tuple[int, ...], ...] = (
+        (128, 128, 256), (256, 256, 512), (512, 512, 1024))
+    fp_channels: Tuple[Tuple[int, ...], ...] = (
+        (1024, 1024), (512, 512), (256, 256, 256))
+    num_fp_neighbours: Tuple[int, ...] = (3, 3, 3)
+    seg_channels: Tuple[int, ...] = (512, 256, 256, 128)
+    dropout_prob: float = 0.5
+
+    # GRN / RefineNet heads (pointnet2.py:123-254)
+    num_anchors: int = 4             # orientation templates (grn:552-587)
+    reg_channels: int = 10           # (dx,dy,dz,drx,dry,drz,dtheta,score,antipodal,center)
+    feature_channels: int = 256      # backbone per-point feature (last FP output)
+    refine_group_channels: int = 128 # group-feature slice fed to RefineNet
+
+    # Numerics
+    compute_dtype: str = "float32"   # "bfloat16" for the fast path
+    bn_momentum: float = 0.1         # torch convention; flax momentum = 1 - this
+    bn_epsilon: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionConfig:
+    """Proposal-region pipeline constants (reference ``train.py:70-90``)."""
+
+    num_points: int = 25600      # all_points_num
+    center_num: int = 64         # grasp-center candidates (4000 at inference)
+    score_thre: float = 0.5      # graspability threshold for center selection
+    group_num: int = 256         # points per proposal region
+    group_num_more: int = 1024   # points per wide region (2048 at inference)
+    r_time_group: float = 0.1    # radius = max(gripper dims) * r_time
+    r_time_group_more: float = 0.8
+    gripper_num: int = 64        # points kept inside the gripper closing region
+    min_region_points: int = 5   # >5 inside points required (grn:539)
+    grasp_score_thre: float = 0.5
+    max_gt_grasps: int = 512     # static pad for per-scene ground-truth grasps
+    # Reference quirk kept for parity: the center<->GT matching threshold 0.005
+    # is applied to the SQUARED distance (get_regiondataset.py:114 with
+    # _compute_distance returning squared dists), i.e. a ~7cm radius.
+    gt_match_dist2: float = 0.005
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Geometric evaluator constants (``eval_score/configs/config.py``)."""
+
+    num_points_threshold: int = 16
+    close_region_min_points: int = 16
+    back_collision_threshold: int = 0
+    finger_collision_threshold: int = 0
+    back_collision_margin: float = 0.0
+    neighbor_depth: float = 0.005
+    normal_radius: float = 0.01
+    normal_max_nn: int = 30
+    table_offset: float = 0.005
+    max_grasps: int = 512        # static pad for grasps under evaluation
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 12
+    epochs: int = 101
+    lr_score: float = 1e-3
+    lr_region: float = 1e-3
+    lr_step_epochs: int = 5      # StepLR(step_size=5, gamma=0.5) (utils.py:120)
+    lr_gamma: float = 0.5
+    seed: int = 1
+    data_parallel_axis: str = "data"
+    remat_backbone: bool = True  # jax.checkpoint the SA/FP stack
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    gripper: GripperConfig = dataclasses.field(default_factory=GripperConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    region: RegionConfig = dataclasses.field(default_factory=RegionConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    @property
+    def group_radius(self) -> float:
+        g = self.gripper
+        return max(g.width, g.height, g.depth) * self.region.r_time_group
+
+    @property
+    def group_radius_more(self) -> float:
+        g = self.gripper
+        return max(g.width, g.height, g.depth) * self.region.r_time_group_more
+
+
+def train_config(**overrides) -> PipelineConfig:
+    """Reference training preset (train.py:70-90): center_num=64,
+    group_num_more=1024."""
+    cfg = PipelineConfig()
+    return _override(cfg, overrides)
+
+
+def infer_config(**overrides) -> PipelineConfig:
+    """Reference inference preset (test.py:61-81): center_num=4000,
+    group_num_more=2048."""
+    cfg = PipelineConfig(
+        region=RegionConfig(center_num=4000, group_num_more=2048))
+    return _override(cfg, overrides)
+
+
+def tiny_config(**overrides) -> PipelineConfig:
+    """Small shapes for unit tests / dry runs."""
+    cfg = PipelineConfig(
+        model=ModelConfig(num_centroids=(128, 32, 16),
+                          num_neighbours=(8, 8, 8),
+                          sa_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128)),
+                          fp_channels=((128, 128), (64, 64), (32, 32, 32)),
+                          seg_channels=(32, 32, 32, 32),
+                          feature_channels=32,
+                          refine_group_channels=16),
+        region=RegionConfig(num_points=512, center_num=8, group_num=16,
+                            group_num_more=32, gripper_num=16,
+                            max_gt_grasps=32),
+        eval=EvalConfig(max_grasps=32),
+        train=TrainConfig(batch_size=2),
+    )
+    return _override(cfg, overrides)
+
+
+def _override(cfg: PipelineConfig, overrides: dict) -> PipelineConfig:
+    """Apply {'region.center_num': 4000}-style or section-level overrides."""
+    for key, val in overrides.items():
+        if "." in key:
+            section, field = key.split(".", 1)
+            sub = dataclasses.replace(getattr(cfg, section), **{field: val})
+            cfg = dataclasses.replace(cfg, **{section: sub})
+        else:
+            cfg = dataclasses.replace(cfg, **{key: val})
+    return cfg
