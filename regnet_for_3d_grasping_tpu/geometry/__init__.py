@@ -1,0 +1,14 @@
+from regnet_for_3d_grasping_tpu.geometry.codec import (  # noqa: F401
+    anchor_templates,
+    cos_dissimilarity,
+    frames_to_grasps,
+    grasps_to_frames,
+)
+from regnet_for_3d_grasping_tpu.geometry.region import (  # noqa: F401
+    closing_region_crop,
+    group_regions,
+    select_score_centers,
+)
+from regnet_for_3d_grasping_tpu.geometry.gt import (  # noqa: F401
+    match_centers_to_gt,
+)

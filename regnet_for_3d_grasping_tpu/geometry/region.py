@@ -1,0 +1,144 @@
+"""Proposal-region construction: center selection, radius grouping, and the
+gripper closing-region crop.
+
+Replaces the reference's host-side Python loops with fixed-shape batched
+device code:
+
+  * ``select_score_centers``  — ``get_regiondataset.py:354-434``
+    (threshold + FPS over the positive subset, with the same fallbacks,
+    expressed as masked FPS instead of host gather/compaction).
+  * ``group_regions``         — ``get_regiondataset.py:279-352``
+    (per-(batch,center) np.random.choice loops -> one masked_random_choice).
+  * ``closing_region_crop``   — ``gripper_region_network.py:436-550``
+    (per-grasp Python loop over box-filtered points -> batched transform +
+    masked sampling).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from regnet_for_3d_grasping_tpu import ops
+from regnet_for_3d_grasping_tpu.geometry.codec import grasps_to_frames
+from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
+
+
+def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
+                         score_thre: float) -> Tuple[jax.Array, jax.Array]:
+    """Pick grasp-center candidates among high-graspability points.
+
+    Args:
+      pc: [B, N, C] points (xyz first three channels).
+      score: [B, N] predicted graspability in [0, 1].
+      center_num: number of candidates (static).
+      score_thre: positivity threshold.
+
+    Returns:
+      centers [B, center_num, C], index [B, center_num].
+
+    Fallback semantics match the reference: fewer positives than requested
+    -> positives are repeated; zero positives -> sample from all points.
+    Both are handled inside masked FPS (ops/fps.py).
+    """
+    positive = score > score_thre
+    idx = ops.farthest_point_sample(pc[..., :3], center_num, mask=positive)
+    return ops.gather_points(pc, idx), idx
+
+
+class RegionGroups(NamedTuple):
+    index: jax.Array    # [B, NC, G] indices into N
+    points: jax.Array   # [B, NC, G, C]
+    valid: jax.Array    # [B, NC] bool — region had >=1 point in radius
+
+
+def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
+                  group_num: int, radius: float,
+                  center_chunk: int = 1024) -> RegionGroups:
+    """Sample `group_num` points within `radius` of each center.
+
+    Over-populated regions get a uniform subset without replacement,
+    under-populated ones wrap their shuffled members — the static-shape
+    equivalent of the reference's np.random.choice(replace=True/False)
+    (get_regiondataset.py:330-341).  Chunked over centers to bound the
+    [NC, N] distance matrix (matters for the 4000-center inference preset).
+    """
+    B, N, _ = pc.shape
+    NC = centers.shape[1]
+    r2 = jnp.float32(radius * radius)
+    xyz = pc[..., :3].astype(jnp.float32)
+    cxyz = centers[..., :3].astype(jnp.float32)
+
+    chunk = min(center_chunk, NC)
+    pad = (-NC) % chunk
+    if pad:
+        cxyz = jnp.concatenate(
+            [cxyz, jnp.full((B, pad, 3), 1e10, cxyz.dtype)], axis=1)
+    n_chunks = cxyz.shape[1] // chunk
+    c_chunks = jnp.moveaxis(cxyz.reshape(B, n_chunks, chunk, 3), 1, 0)
+    keys = jax.random.split(key, n_chunks)
+
+    def per_chunk(args):
+        c, k = args
+        d2 = ops.bpdist2(c, xyz)                     # [B, chunk, N]
+        mask = d2 <= r2
+        idx, any_valid, _ = ops.masked_random_choice(k, mask, group_num)
+        return idx, any_valid
+
+    idx, valid = lax.map(per_chunk, (c_chunks, keys))
+    idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, group_num)[:, :NC]
+    valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
+    points = ops.group_points(pc, idx)
+    return RegionGroups(idx.astype(jnp.int32), points, valid)
+
+
+class ClosingRegion(NamedTuple):
+    points: jax.Array        # [B, NC, K, C] gripper-frame xyz + colors
+    index_in_all: jax.Array  # [B, NC, K] indices into the full cloud
+    valid: jax.Array         # [B, NC] bool — > min_points inside the gripper
+
+
+def closing_region_crop(key: jax.Array, group_points_: jax.Array,
+                        group_index: jax.Array, grasp: jax.Array,
+                        gripper: GripperConfig, gripper_num: int,
+                        min_points: int = 5) -> ClosingRegion:
+    """Crop the points inside each proposed gripper's closing volume.
+
+    Args:
+      key: PRNG key (point subsampling).
+      group_points_: [B, NC, GM, C] wide-region points (world frame).
+      group_index: [B, NC, GM] their indices into the full cloud.
+      grasp: [B, NC, >=7] proposed grasps (center, axis_y, theta, ...).
+      gripper: gripper geometry; box is x in (0, depth/2), |y| < width/2,
+        |z| < height/2 (gripper_region_network.py:512-531).
+      gripper_num: K points to keep per proposal.
+      min_points: proposals with <= this many inside points are invalid
+        (reference requires len(index) > 5, grn:539).
+
+    Returns:
+      ClosingRegion with gripper-frame coordinates (xyz transformed, colors
+      passed through — grn:540).
+    """
+    frame, center = grasps_to_frames(grasp)           # [B,NC,3,3], [B,NC,3]
+    rel = group_points_[..., :3] - center[..., None, :]
+    # local = frame^T @ rel  (columns of frame are the gripper axes)
+    local = jnp.einsum("...ij,...ki->...kj", frame, rel,
+                       precision=lax.Precision.HIGHEST)  # [B,NC,GM,3]
+
+    inside = ((local[..., 0] > 0)
+              & (local[..., 0] < gripper.depth / 2)
+              & (jnp.abs(local[..., 1]) < gripper.width / 2)
+              & (jnp.abs(local[..., 2]) < gripper.height / 2))
+
+    idx, _, count = ops.masked_random_choice(key, inside, gripper_num)
+    valid = count > min_points
+
+    local_sel = jnp.take_along_axis(local, idx[..., None], axis=-2)
+    color_sel = jnp.take_along_axis(
+        group_points_[..., 3:], idx[..., None], axis=-2)
+    pts = jnp.concatenate([local_sel, color_sel], axis=-1)
+    index_in_all = jnp.take_along_axis(group_index, idx, axis=-1)
+    return ClosingRegion(pts, index_in_all.astype(jnp.int32), valid)

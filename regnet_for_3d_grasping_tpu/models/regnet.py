@@ -1,0 +1,160 @@
+"""REGNet — the full three-stage cascade, fixed-shape and mask-based.
+
+Orchestrates ScoreNet -> GripperRegionNetwork -> RefineNet exactly as the
+reference does across ``multi_model/gripper_region_network.py:361-434``
+(forward), ``:311-359`` (refine_forward) and ``train.py``'s step functions —
+but as one jittable module:
+
+  * proposals live on a fixed [B, center_num] grid with validity masks
+    instead of ``torch.nonzero`` compaction (SURVEY §7 hard part 1);
+  * the region/grouping randomness comes from linen RNG stream "sampling";
+  * the refine stage always runs (its inputs are masked), replacing the
+    reference's data-dependent ``if len(gripper_mask) >= 2`` branch
+    (grn:333) — invalid rows are excluded by masks downstream, which also
+    removes the reference's silent batch-dropping try/except
+    (train.py:363-435, SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from regnet_for_3d_grasping_tpu import ops
+from regnet_for_3d_grasping_tpu.geometry.codec import (
+    anchor_templates,
+)
+from regnet_for_3d_grasping_tpu.geometry.region import (
+    closing_region_crop,
+    group_regions,
+    select_score_centers,
+)
+from regnet_for_3d_grasping_tpu.models.heads import RefineHead, TwoStageHead
+from regnet_for_3d_grasping_tpu.models.score_net import ScoreNet
+from regnet_for_3d_grasping_tpu.utils.config import PipelineConfig
+
+
+class REGNetOutput(NamedTuple):
+    """Everything the losses / evaluator / exporter need, masked not packed.
+
+    Shapes: B batch, N points, NC centers, A anchors, R reg channels.
+    """
+
+    score: jax.Array            # [B, N] per-point graspability
+    centers: jax.Array          # [B, NC, 6] candidate centers (xyz+rgb)
+    center_index: jax.Array     # [B, NC]
+    region_valid: jax.Array     # [B, NC] proposal region non-empty
+    cls_logits: jax.Array       # [B, NC, A] anchor logits
+    reg: jax.Array              # [B, NC, A, R] per-anchor residuals
+    anchor_index: jax.Array     # [B, NC] argmax anchor
+    proposals: jax.Array        # [B, NC, R] stage-2 decoded grasps
+    crop_valid: jax.Array       # [B, NC] closing region had > min points
+    refine_logits: jax.Array    # [B, NC, 2] valid/invalid logits
+    refine_reg: jax.Array       # [B, NC, R] stage-3 residuals
+    final_grasps: jax.Array     # [B, NC, R] stage-3 refined grasps
+    refine_accept: jax.Array    # [B, NC] argmax(refine_logits) == 1
+    score_accept: jax.Array     # [B, NC] accept & final score > threshold
+
+
+def decode_proposals(reg: jax.Array, anchor_idx: jax.Array,
+                     center_xyz: jax.Array, radius: float) -> jax.Array:
+    """Decode anchor residuals into grasps (grn compute_loss:82-90).
+
+    reg [B,NC,A,R], anchor_idx [B,NC], center_xyz [B,NC,3] -> [B,NC,R]
+    with (center, unit axis_y, theta, scores...).
+    """
+    templates = anchor_templates()                        # [A, 4]
+    sel = jnp.take_along_axis(
+        reg, anchor_idx[..., None, None], axis=-2)[..., 0, :]   # [B,NC,R]
+    t = templates[anchor_idx]                             # [B,NC,4]
+    center = sel[..., :3] * radius + center_xyz
+    r_raw = sel[..., 3:6] + t[..., :3]
+    r_norm = jnp.sqrt(jnp.sum(jnp.square(r_raw), axis=-1,
+                              keepdims=True) + 1e-12)
+    axis_y = r_raw / r_norm
+    theta = jnp.pi * (sel[..., 6:7] + t[..., 3:4])
+    return jnp.concatenate([center, axis_y, theta, sel[..., 7:]], axis=-1)
+
+
+class REGNet(nn.Module):
+    """ScoreNet + GRN + RefineNet in one jittable forward."""
+
+    cfg: PipelineConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.score_net = ScoreNet(self.cfg.model, dtype=self.dtype)
+        self.grn_head = TwoStageHead(self.cfg.model, dtype=self.dtype)
+        self.refine_head = RefineHead(self.cfg.model, dtype=self.dtype)
+
+    def __call__(self, pc: jax.Array, train: bool = False,
+                 with_refine: bool = True) -> REGNetOutput:
+        """pc [B, N, 6] -> REGNetOutput.
+
+        `with_refine=False` reproduces the reference's `pretrain_region`
+        configuration (GRN trained without the refine stage,
+        utils.py:106-109) — the refine head still produces (masked) outputs
+        so the return structure is static, but its inputs are detached
+        regardless and its losses are simply not applied by the caller.
+        """
+        cfg = self.cfg
+        region = cfg.region
+
+        feature, score = self.score_net(pc, train=train)
+
+        key = self.make_rng("sampling")
+        k_group, k_more, k_crop = jax.random.split(key, 3)
+
+        # --- GRN: candidate centers + two region scales ------------------
+        centers, center_idx = select_score_centers(
+            pc, score, region.center_num, region.score_thre)
+        groups = group_regions(k_group, pc, centers, region.group_num,
+                               cfg.group_radius)
+        groups_more = group_regions(k_more, pc, centers,
+                                    region.group_num_more,
+                                    cfg.group_radius_more)
+
+        # per-point backbone features of each region (grn:389-395)
+        region_feat = ops.group_points(feature, groups.index)
+        cls_logits, reg, pooled = self.grn_head(region_feat, train=train)
+        anchor_idx = jnp.argmax(cls_logits, axis=-1)
+        proposals = decode_proposals(reg, anchor_idx,
+                                     centers[..., :3], cfg.gripper.depth)
+
+        # --- RefineNet: closing-region crop on detached proposals --------
+        proposals_sg = jax.lax.stop_gradient(proposals)
+        crop = closing_region_crop(
+            k_crop, groups_more.points, groups_more.index, proposals_sg,
+            cfg.gripper, region.gripper_num, region.min_region_points)
+        gripper_feat = ops.group_points(feature, crop.index_in_all)
+        refine_logits, refine_reg = self.refine_head(
+            gripper_feat, pooled, train=train)
+
+        final = proposals_sg.at[..., :3].add(
+            refine_reg[..., :3] * cfg.gripper.depth)
+        final = final.at[..., 3:].add(refine_reg[..., 3:])
+
+        refine_accept = (jnp.argmax(refine_logits, axis=-1) == 1) \
+            & crop.valid
+        score_accept = refine_accept \
+            & (final[..., 7] > region.grasp_score_thre)
+
+        return REGNetOutput(
+            score=score,
+            centers=centers,
+            center_index=center_idx,
+            region_valid=groups.valid,
+            cls_logits=cls_logits,
+            reg=reg,
+            anchor_index=anchor_idx,
+            proposals=proposals,
+            crop_valid=crop.valid,
+            refine_logits=refine_logits,
+            refine_reg=refine_reg,
+            final_grasps=final,
+            refine_accept=refine_accept,
+            score_accept=score_accept,
+        )
