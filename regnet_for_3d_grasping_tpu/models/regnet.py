@@ -126,21 +126,34 @@ class REGNet(nn.Module):
 
         # --- RefineNet: closing-region crop on detached proposals --------
         proposals_sg = jax.lax.stop_gradient(proposals)
-        crop = closing_region_crop(
-            k_crop, groups_more.points, groups_more.index, proposals_sg,
-            cfg.gripper, region.gripper_num, region.min_region_points)
-        gripper_feat = ops.group_points(feature, crop.index_in_all)
-        refine_logits, refine_reg = self.refine_head(
-            gripper_feat, pooled, train=train)
+        B, NC = proposals.shape[:2]
+        if with_refine:
+            crop = closing_region_crop(
+                k_crop, groups_more.points, groups_more.index, proposals_sg,
+                cfg.gripper, region.gripper_num, region.min_region_points)
+            gripper_feat = ops.group_points(feature, crop.index_in_all)
+            refine_logits, refine_reg = self.refine_head(
+                gripper_feat, pooled, train=train)
 
-        final = proposals_sg.at[..., :3].add(
-            refine_reg[..., :3] * cfg.gripper.depth)
-        final = final.at[..., 3:].add(refine_reg[..., 3:])
-
-        refine_accept = (jnp.argmax(refine_logits, axis=-1) == 1) \
-            & crop.valid
-        score_accept = refine_accept \
-            & (final[..., 7] > region.grasp_score_thre)
+            final = jnp.concatenate(
+                [proposals_sg[..., :3]
+                 + refine_reg[..., :3] * cfg.gripper.depth,
+                 proposals_sg[..., 3:] + refine_reg[..., 3:]], axis=-1)
+            crop_valid = crop.valid
+            refine_accept = (jnp.argmax(refine_logits, axis=-1) == 1) \
+                & crop_valid
+            score_accept = refine_accept \
+                & (final[..., 7] > region.grasp_score_thre)
+        else:
+            # pretrain_region configuration: GRN without the refine stage
+            # (utils.py:106-109); emit static-shape placeholders.
+            R = cfg.model.reg_channels
+            crop_valid = jnp.zeros((B, NC), bool)
+            refine_logits = jnp.zeros((B, NC, 2), proposals.dtype)
+            refine_reg = jnp.zeros((B, NC, R), proposals.dtype)
+            final = proposals_sg
+            refine_accept = jnp.zeros((B, NC), bool)
+            score_accept = jnp.zeros((B, NC), bool)
 
         return REGNetOutput(
             score=score,
@@ -151,7 +164,7 @@ class REGNet(nn.Module):
             reg=reg,
             anchor_index=anchor_idx,
             proposals=proposals,
-            crop_valid=crop.valid,
+            crop_valid=crop_valid,
             refine_logits=refine_logits,
             refine_reg=refine_reg,
             final_grasps=final,

@@ -52,6 +52,9 @@ def farthest_point_sample(xyz: jax.Array, num_samples: int,
         valid = mask
         any_valid = jnp.any(valid, axis=1, keepdims=True)
         valid = jnp.where(any_valid, valid, True)
+    # Exclude NaN points, and — under shard_map — tie the scan carry's
+    # varying-axes type to xyz (a constant-only carry breaks vma typing).
+    valid = valid & ~jnp.isnan(xyz[..., 0])
 
     # Invalid points carry a sentinel distance of -1 so they lose every argmax
     # against valid points (whose min-distance is >= 0).

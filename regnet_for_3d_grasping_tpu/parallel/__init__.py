@@ -1,0 +1,6 @@
+from regnet_for_3d_grasping_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,194 @@
+"""Jitted, mesh-sharded training step and optimizer construction.
+
+Replaces the reference harness (``train.py`` ScoreModule/RegionModule/
+RefineModule + ``utils.py:117-135``):
+
+  * two Adam optimizers with StepLR(step_size=5 epochs, gamma=0.5)
+    (utils.py:117-121) -> one optax ``multi_transform`` with per-subtree
+    learning-rate schedules ("score" = ScoreNet, "region" = GRN+RefineNet),
+    stepped per optimizer-update with the epoch-granular decay preserved;
+  * nn.DataParallel scatter/gather (utils.py:129-133) -> `shard_map` over a
+    `data` mesh axis: batch sharded, params replicated, gradient `pmean`
+    over ICI.  BatchNorm statistics are computed per-shard (matching the
+    reference's unsynced DataParallel BN) and then `pmean`-ed into the
+    carried state — a strict improvement over DataParallel, which silently
+    discards replica BN updates;
+  * the GT center matching runs on-device inside the step (geometry/gt.py)
+    instead of re-loading label pickles from disk each step.
+
+Train "stages" mirror the reference CLI modes (train.py:25-26):
+  "score"  -> pretrain_score  (stage-1 loss only)
+  "region" -> pretrain_region (stage-1 + stage-2, refine stage skipped)
+  "refine" -> train           (all three losses)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from regnet_for_3d_grasping_tpu.geometry.gt import match_centers_to_gt
+from regnet_for_3d_grasping_tpu.models.regnet import REGNet
+from regnet_for_3d_grasping_tpu.train.losses import regnet_losses
+from regnet_for_3d_grasping_tpu.utils.config import PipelineConfig
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class DeviceBatch(NamedTuple):
+    """Device-side view of data.SceneBatch (arrays only)."""
+
+    pc: jax.Array          # [B, N, 6]
+    score: jax.Array       # [B, N]
+    gt_frames: jax.Array   # [B, MG, 3, 4]
+    gt_scores: jax.Array   # [B, MG, 3]
+    gt_valid: jax.Array    # [B, MG]
+
+
+def _param_label(path) -> str:
+    top = path[0].key if hasattr(path[0], "key") else str(path[0])
+    return "score" if top == "score_net" else "region"
+
+
+def make_optimizer(cfg: PipelineConfig, steps_per_epoch: int,
+                   resume_epoch: int = 0) -> optax.GradientTransformation:
+    """Adam + epoch-granular step decay, separate LR groups like the
+    reference's two optimizers (utils.py:117-121)."""
+    tc = cfg.train
+
+    def schedule(base_lr):
+        def fn(step):
+            epoch = resume_epoch + step // max(steps_per_epoch, 1)
+            return base_lr * (tc.lr_gamma ** (epoch // tc.lr_step_epochs))
+        return fn
+
+    return optax.multi_transform(
+        {"score": optax.adam(schedule(tc.lr_score)),
+         "region": optax.adam(schedule(tc.lr_region))},
+        param_labels=lambda params: jax.tree_util.tree_map_with_path(
+            lambda path, _: _param_label(path), params),
+    )
+
+
+def init_state(model: REGNet, cfg: PipelineConfig, optimizer,
+               sample_pc: jax.Array, seed: int = 0) -> TrainState:
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(seed),
+             "sampling": jax.random.PRNGKey(seed + 1)},
+            sample_pc, train=False))()
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _step_body(model: REGNet, optimizer, cfg: PipelineConfig, stage: str,
+               axis_name: str | None,
+               state: TrainState, batch: DeviceBatch, key: jax.Array
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    with_refine = stage == "refine"
+    with_stage2 = stage in ("region", "refine")
+
+    if axis_name is not None:
+        # decorrelate sampling across shards
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    k_sample, k_drop = jax.random.split(key)
+
+    def loss_fn(params):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch.pc, train=True, with_refine=with_refine,
+            rngs={"sampling": k_sample, "dropout": k_drop},
+            mutable=["batch_stats"])
+        grasp_gt, matched = match_centers_to_gt(
+            out.centers[..., :3], batch.gt_frames, batch.gt_scores,
+            batch.gt_valid, cfg.region.gt_match_dist2)
+        total, metrics = regnet_losses(
+            out, batch.score, grasp_gt, matched, cfg,
+            with_stage2=with_stage2, with_stage3=with_refine)
+        return total, (mutated["batch_stats"], metrics)
+
+    (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        new_stats = jax.lax.pmean(new_stats, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+
+    updates, new_opt = optimizer.update(grads, state.opt_state,
+                                        state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+    return new_state, metrics
+
+
+def make_train_step(model: REGNet, optimizer, cfg: PipelineConfig,
+                    stage: str = "refine", mesh: Mesh | None = None,
+                    axis_name: str = "data"):
+    """Build the jitted train step; with a mesh, shard_map over `data`."""
+    if mesh is None:
+        body = functools.partial(_step_body, model, optimizer, cfg, stage,
+                                 None)
+        return jax.jit(body)
+
+    body = functools.partial(_step_body, model, optimizer, cfg, stage,
+                             axis_name)
+    repl = P()
+    state_spec = TrainState(repl, repl, repl, repl)
+    batch_spec = DeviceBatch(*([P(axis_name)] * len(DeviceBatch._fields)))
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(state_spec, batch_spec, repl),
+        out_specs=(state_spec, repl))
+    return jax.jit(sharded)
+
+
+def make_eval_step(model: REGNet, cfg: PipelineConfig,
+                   stage: str = "refine"):
+    """Forward + losses without updates (validation)."""
+    with_refine = stage == "refine"
+    with_stage2 = stage in ("region", "refine")
+
+    @jax.jit
+    def step(state: TrainState, batch: DeviceBatch, key: jax.Array):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.pc, train=False, with_refine=with_refine,
+            rngs={"sampling": key})
+        grasp_gt, matched = match_centers_to_gt(
+            out.centers[..., :3], batch.gt_frames, batch.gt_scores,
+            batch.gt_valid, cfg.region.gt_match_dist2)
+        total, metrics = regnet_losses(
+            out, batch.score, grasp_gt, matched, cfg,
+            with_stage2=with_stage2, with_stage3=with_refine)
+        return out, metrics
+
+    return step
+
+
+def device_batch(scene_batch) -> DeviceBatch:
+    """Host SceneBatch -> DeviceBatch (drops host-only fields)."""
+    return DeviceBatch(
+        pc=jnp.asarray(scene_batch.pc),
+        score=jnp.asarray(scene_batch.score),
+        gt_frames=jnp.asarray(scene_batch.gt_frames),
+        gt_scores=jnp.asarray(scene_batch.gt_scores),
+        gt_valid=jnp.asarray(scene_batch.gt_valid),
+    )
