@@ -1,0 +1,68 @@
+"""Headline benchmark: end-to-end SN->GRN->RN inference clouds/sec.
+
+Runs the full REGNet cascade at the reference's inference configuration of
+record (test.py:61-81: 25,600 points/cloud, center_num=4000,
+group_num_more=2048) on the attached TPU chip and prints ONE JSON line.
+
+`vs_baseline` compares against 1.0 clouds/sec — a documented *estimate* of
+the reference's single-GPU end-to-end rate (the repo publishes no numbers,
+BASELINE.md; its per-step timing prints were never recorded).  The build
+target is >=5x that (BASELINE.json north star), i.e. vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_CLOUDS_PER_SEC = 1.0   # documented estimate, see module docstring
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from regnet_for_3d_grasping_tpu.data import make_synthetic_scene
+    from regnet_for_3d_grasping_tpu.models import REGNet
+    from regnet_for_3d_grasping_tpu.utils.config import infer_config
+
+    cfg = infer_config()
+    model = REGNet(cfg)
+
+    scene = make_synthetic_scene(0, num_view=cfg.region.num_points)
+    pc = np.c_[scene["view_cloud"],
+               scene["view_cloud_color"]].astype(np.float32)[None]
+    pc = jnp.asarray(pc)
+
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "sampling": jax.random.PRNGKey(1)}, pc))()
+
+    fwd = jax.jit(lambda v, x, k: model.apply(
+        v, x, train=False, rngs={"sampling": k}))
+
+    for i in range(WARMUP):
+        jax.block_until_ready(fwd(variables, pc, jax.random.PRNGKey(i)))
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = fwd(variables, pc, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = ITERS / dt
+    print(json.dumps({
+        "metric": "clouds/sec end-to-end SN->GRN->RN inference @25.6k pts "
+                  "(center_num=4000)",
+        "value": round(clouds_per_sec, 4),
+        "unit": "clouds/sec",
+        "vs_baseline": round(clouds_per_sec / REF_CLOUDS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

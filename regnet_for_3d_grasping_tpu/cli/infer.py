@@ -1,0 +1,155 @@
+"""Inference CLI — the reference's ``test.py`` re-imagined.
+
+Runs the full SN->GRN->RN cascade on .p (virtual) or .pcd (real) clouds,
+collision-filters the four grasp sets and writes the same prediction-pickle
+schema as the reference (utils.py:412-424):
+  {points, colors, scores, grasp_stage2, grasp_stage3_stage2,
+   grasp_stage3, grasp_stage3_score}
+
+Usage:
+  python -m regnet_for_3d_grasping_tpu.cli.infer \
+      --folder-name /path/to/virtual_data --checkpoint /path/to/ckpts
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import glob
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="REGNet-TPU inference")
+    p.add_argument("--folder-name", type=str, default="")
+    p.add_argument("--file-name", type=str, default="")
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="checkpoint directory (utils/checkpoint.py); "
+                        "random init if empty")
+    p.add_argument("--center-num", type=int, default=4000)
+    p.add_argument("--group-num-more", type=int, default=2048)
+    p.add_argument("--all-points-num", type=int, default=25600)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--no-eval", action="store_true",
+                   help="skip the collision filter (raw grasp sets)")
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def load_cloud(pc_path: str, all_points_num: int,
+               rng: np.random.RandomState):
+    """Load + preprocess one input cloud (test.py:101-127)."""
+    from regnet_for_3d_grasping_tpu.utils import pcd as pcdio
+
+    real = pc_path.endswith(".pcd")
+    if real:
+        pts, colors = pcdio.read_pcd(pc_path)
+        T = pcdio.camera_to_global_transform()
+        pts = pcdio.transform_points(T, pts)
+        pc = np.c_[pts, colors]
+        # workspace crop (test.py:114-118)
+        pc = pc[(pc[:, 0] < 0.26) & (pc[:, 0] > -0.4) & (pc[:, 2] < 1)
+                & (pc[:, 1] < 0.65) & (pc[:, 1] > 0.2)]
+    else:
+        with open(pc_path, "rb") as f:
+            data = pickle.load(f)
+        pc = np.c_[data["view_cloud"].astype(np.float32),
+                   data["view_cloud_color"].astype(np.float32)]
+
+    pc_back = copy.deepcopy(pc[:, :3])
+    color_back = copy.deepcopy(pc[:, 3:6])
+    # color noise (utils.py:426-431)
+    pc = pc.copy()
+    pc[:, 3:6] *= (1 - rng.rand(3) / 5)
+
+    sel = rng.choice(len(pc), all_points_num,
+                     replace=len(pc) < all_points_num)
+    return pc[sel].astype(np.float32), pc_back, color_back, real
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from regnet_for_3d_grasping_tpu.models import REGNet
+    from regnet_for_3d_grasping_tpu.utils.config import infer_config
+    from regnet_for_3d_grasping_tpu.utils import checkpoint as ckpt
+    from regnet_for_3d_grasping_tpu.utils.export import extract_grasp_sets
+    from regnet_for_3d_grasping_tpu.eval.evaluator import eval_test
+
+    cfg = infer_config(**{
+        "region.center_num": args.center_num,
+        "region.group_num_more": args.group_num_more,
+        "region.num_points": args.all_points_num,
+    })
+    dtype = jnp.bfloat16 if args.bf16 else None
+    model = REGNet(cfg, dtype=dtype)
+
+    rng = np.random.RandomState(args.seed)
+    if args.file_name:
+        paths = [os.path.join(args.folder_name, args.file_name)]
+    else:
+        paths = sorted(glob.glob(os.path.join(args.folder_name, "*.p"))
+                       + glob.glob(os.path.join(args.folder_name, "*.pcd")))
+    if not paths:
+        raise SystemExit(f"no input clouds under {args.folder_name!r}")
+
+    variables = None
+    fwd = jax.jit(lambda v, x, k: model.apply(
+        v, x, train=False, rngs={"sampling": k}))
+
+    for pc_path in paths:
+        pc, pc_back, color_back, real = load_cloud(
+            pc_path, args.all_points_num, rng)
+        x = jnp.asarray(pc)[None]
+
+        if variables is None:
+            variables = jax.jit(lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sampling": jax.random.PRNGKey(1)}, x))()
+            if args.checkpoint:
+                restored, _ = ckpt.restore_checkpoint(
+                    args.checkpoint,
+                    target={"params": variables["params"],
+                            "batch_stats": variables["batch_stats"]})
+                variables = restored
+
+        t0 = time.time()
+        out = jax.block_until_ready(
+            fwd(variables, x, jax.random.PRNGKey(args.seed)))
+        t1 = time.time()
+        sets = extract_grasp_sets(out)[0]
+        print(f"{pc_path}: forward {t1 - t0:.3f}s, "
+              f"{len(sets['grasp_stage2'])} stage2 / "
+              f"{len(sets['grasp_stage3'])} stage3 grasps")
+
+        if not args.no_eval:
+            g = cfg.gripper
+            for key in list(sets):
+                sets[key] = eval_test(
+                    pc_back, sets[key], None, g.table_height, g.depth,
+                    g.width, g, cfg.eval)
+
+        out_path = pc_path.replace("_data", "_data_predict")
+        if real:
+            out_path = out_path.replace(".pcd", ".p")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        output = {
+            "points": pc_back,
+            "colors": color_back,
+            "scores": np.asarray(out.score[0]).reshape(-1, 1),
+            **{k: np.asarray(v, np.float32) for k, v in sets.items()},
+        }
+        with open(out_path, "wb") as f:
+            pickle.dump(output, f)
+        print(f"  -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Training CLI — the reference's ``train.py`` modes on a TPU mesh.
+
+Modes (train.py:25-26): train, pretrain_score, pretrain_region,
+validate[_score|_region], test[_score|_region].
+
+Usage:
+  python -m regnet_for_3d_grasping_tpu.cli.train --mode pretrain_score \
+      --data-path /data --model-path ./models --tag run0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="REGNet-TPU training")
+    p.add_argument("--tag", type=str, default="default")
+    p.add_argument("--mode", required=True, choices=[
+        "train", "pretrain_score", "pretrain_region", "validate",
+        "validate_score", "validate_region", "test", "test_score",
+        "test_region"])
+    p.add_argument("--epoch", type=int, default=101)
+    p.add_argument("--batch-size", type=int, default=12)
+    p.add_argument("--data-path", type=str, required=True)
+    p.add_argument("--model-path", type=str, default="./assets/models")
+    p.add_argument("--log-path", type=str, default="./assets/log")
+    p.add_argument("--lr-score", type=float, default=1e-3)
+    p.add_argument("--lr-region", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint under "
+                        "model-path/tag")
+    p.add_argument("--synthetic-scenes", type=int, default=0,
+                   help="generate N synthetic scenes under data-path "
+                        "first (no real dataset available)")
+    p.add_argument("--eval-grasps", action="store_true",
+                   help="run the geometric VGR evaluator during "
+                        "validation epochs (slower)")
+    p.add_argument("--num-points", type=int, default=25600)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model/shapes (smoke tests)")
+    return p
+
+
+MODE_STAGE = {
+    "train": "refine", "validate": "refine", "test": "refine",
+    "pretrain_score": "score", "validate_score": "score",
+    "test_score": "score",
+    "pretrain_region": "region", "validate_region": "region",
+    "test_region": "region",
+}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from regnet_for_3d_grasping_tpu.data import (
+        GraspDataset, load_scene, write_synthetic_dataset)
+    from regnet_for_3d_grasping_tpu.models import REGNet
+    from regnet_for_3d_grasping_tpu.parallel import make_mesh, shard_batch
+    from regnet_for_3d_grasping_tpu.train import trainer
+    from regnet_for_3d_grasping_tpu.utils import checkpoint as ckpt
+    from regnet_for_3d_grasping_tpu.utils.config import train_config
+    from regnet_for_3d_grasping_tpu.utils.export import extract_grasp_sets
+    from regnet_for_3d_grasping_tpu.utils.logging import MetricLogger
+    from regnet_for_3d_grasping_tpu.eval.evaluator import (
+        EvalRecord, evaluate_scene_grasps, view_num_from_path)
+
+    if args.tiny:
+        from regnet_for_3d_grasping_tpu.utils.config import tiny_config
+        cfg = tiny_config(**{
+            "train.batch_size": args.batch_size,
+            "train.lr_score": args.lr_score,
+            "train.lr_region": args.lr_region,
+        })
+        args.num_points = cfg.region.num_points
+    else:
+        cfg = train_config(**{
+            "region.num_points": args.num_points,
+            "train.batch_size": args.batch_size,
+            "train.lr_score": args.lr_score,
+            "train.lr_region": args.lr_region,
+        })
+
+    if args.synthetic_scenes:
+        write_synthetic_dataset(args.data_path, args.synthetic_scenes,
+                                num_view=args.num_points)
+    stage = MODE_STAGE[args.mode]
+    is_train = args.mode in ("train", "pretrain_score", "pretrain_region")
+
+    logger = MetricLogger(args.log_path, args.tag)
+    ckpt_dir = os.path.join(args.model_path, args.tag)
+
+    train_ds = GraspDataset(args.data_path, "train", args.num_points,
+                            cfg.region.max_gt_grasps, args.seed)
+    val_tag = "test" if "test" in args.mode else "validate"
+    val_ds = GraspDataset(args.data_path, val_tag, args.num_points,
+                          cfg.region.max_gt_grasps, args.seed)
+    batch_size = args.batch_size if is_train else 1
+    steps_per_epoch = max(len(train_ds) // max(batch_size, 1), 1)
+
+    model = REGNet(cfg)
+    devices = jax.devices()
+    mesh = make_mesh(devices) if (is_train and len(devices) > 1
+                                  and batch_size % len(devices) == 0) \
+        else None
+    if mesh is not None:
+        print(f"data-parallel over {len(devices)} devices")
+
+    sample = next((train_ds if len(train_ds) else val_ds).batches(
+        batch_size, seed=0))
+    dsample = trainer.device_batch(sample)
+
+    resume_epoch = 0
+    optimizer = trainer.make_optimizer(cfg, steps_per_epoch)
+    state = trainer.init_state(model, cfg, optimizer, dsample.pc,
+                               args.seed)
+    if args.resume and ckpt.latest_epoch(ckpt_dir) is not None:
+        restored, resume_epoch = ckpt.restore_checkpoint(
+            ckpt_dir, target=state._asdict())
+        optimizer = trainer.make_optimizer(cfg, steps_per_epoch,
+                                           resume_epoch)
+        state = trainer.TrainState(**restored)
+        print(f"resumed from epoch {resume_epoch - 1}")
+
+    train_step = trainer.make_train_step(model, optimizer, cfg, stage,
+                                         mesh)
+    eval_step = trainer.make_eval_step(model, cfg, stage)
+
+    def run_eval_epoch(epoch, mode_name, ds):
+        records = {"stage2": EvalRecord(), "stage3_class": EvalRecord(),
+                   "stage3_score": EvalRecord()}
+        n = 0
+        for batch in ds.batches(1, seed=epoch, shuffle=False,
+                                augment=False):
+            dbatch = trainer.device_batch(batch)
+            key = jax.random.PRNGKey(epoch * 10007 + n)
+            out, metrics = eval_step(state, dbatch, key)
+            logger.scalars(metrics, n + epoch * len(ds), mode_name,
+                           "batch")
+            if args.eval_grasps and stage != "score":
+                sets = extract_grasp_sets(out)[0]
+                data = load_scene(batch.paths[0])
+                try:
+                    view = view_num_from_path(batch.paths[0])
+                except ValueError:
+                    view = 0
+                g = cfg.gripper
+                for stage_name, grasps in (
+                        ("stage2", sets["grasp_stage2"]),
+                        ("stage3_class", sets["grasp_stage3"]),
+                        ("stage3_score", sets["grasp_stage3_score"])):
+                    if len(grasps) == 0:
+                        continue
+                    rec = evaluate_scene_grasps(
+                        data, grasps, view, g.table_height, g.depth,
+                        float(batch.width[0]), g, cfg.eval)
+                    records[stage_name] = records[stage_name].add(rec)
+            n += 1
+        for stage_name, rec in records.items():
+            if rec.formal > 0:
+                logger.scalar(f"epoch_{mode_name}_{stage_name}_vgr",
+                              rec.vgr, epoch)
+                logger.scalar(f"epoch_{mode_name}_{stage_name}_score",
+                              rec.score, epoch)
+                logger.scalar(
+                    f"epoch_{mode_name}_{stage_name}_vgr_before",
+                    rec.vgr_before, epoch)
+                print(f"[{mode_name} {epoch}] {stage_name}: "
+                      f"vgr={rec.vgr:.3f} score={rec.score:.3f}")
+
+    if not is_train:
+        run_eval_epoch(resume_epoch, args.mode, val_ds)
+        return
+
+    for epoch in range(resume_epoch, args.epoch):
+        t0 = time.time()
+        total = 0.0
+        nb = 0
+        for batch in train_ds.batches(batch_size, seed=epoch):
+            dbatch = trainer.device_batch(batch)
+            if mesh is not None:
+                dbatch = shard_batch(dbatch, mesh)
+            key = jax.random.PRNGKey(epoch * 131071 + nb)
+            state, metrics = train_step(state, dbatch, key)
+            logger.scalars(metrics, nb + epoch * steps_per_epoch,
+                           "train", "batch")
+            total += float(metrics["loss_total"])
+            nb += 1
+            print(f"train epoch {epoch} [{nb}/{steps_per_epoch}] "
+                  f"loss {float(metrics['loss_total']):.4f}")
+        logger.scalar("epoch_train_loss", total / max(nb, 1), epoch)
+        print(f"epoch {epoch}: mean loss {total / max(nb, 1):.4f} "
+              f"({time.time() - t0:.1f}s)")
+        ckpt.save_checkpoint(ckpt_dir, epoch, state._asdict())
+        run_eval_epoch(epoch, "validate", val_ds)
+
+
+if __name__ == "__main__":
+    main()

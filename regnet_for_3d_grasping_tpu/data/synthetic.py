@@ -73,7 +73,13 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
         np.float32)
     color = rng.rand(num_view, 3).astype(np.float32)
 
-    # GT grasps: top-down pinches above each object top, several theta
+    # GT grasps: top-down pinches engaging the top `grab` of each object.
+    # The frame translation is the hand base: the fingertips reach
+    # translation + depth*approach, so with approach = -z the base sits
+    # depth-grab above the object top and the closing region covers its
+    # top `grab` metres (keeps fingers clear of the table for objects
+    # taller than grab - 0.005).
+    depth, grab = 0.06, 0.025
     frames, ascore = [], []
     for top in obj_tops:
         for t in np.linspace(-np.pi / 2, np.pi / 2, 5):
@@ -82,7 +88,8 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
             if y[0] < 0:
                 y = -y
             z = np.cross(approach, y)
-            frame = np.c_[approach, y, z, top]     # 3x4, translation = top
+            base = top + np.array([0.0, 0.0, depth - grab])
+            frame = np.c_[approach, y, z, base]
             frames.append(frame)
             ascore.append(0.5 + 0.5 * np.cos(t) ** 2)
     frames = np.asarray(frames, np.float32)

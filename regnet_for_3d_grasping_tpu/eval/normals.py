@@ -1,0 +1,91 @@
+"""Point-cloud normal estimation on TPU.
+
+Replaces the reference's open3d dependency
+(``eval_utils/pointcloud.py:27-43``: KDTreeSearchParamHybrid(radius=0.01,
+max_nn=30) PCA normals oriented toward the camera).  open3d is not in this
+image, and a host KD-tree round-trip per scene would serialize the
+evaluator anyway — so normals are computed on-device:
+
+  hybrid k-NN  -> chunked top-k (<=30 neighbours, masked beyond the radius)
+  PCA          -> analytic smallest eigenvector of the 3x3 covariance
+                  (trigonometric eigenvalues + cross-product nullspace;
+                  no jnp.linalg.eigh, which lowers poorly for tiny batched
+                  matrices on TPU)
+  orientation  -> flip toward the camera position
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from regnet_for_3d_grasping_tpu.ops.distances import bpdist2
+
+
+def smallest_eigvec_3x3(A: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of symmetric [..., 3, 3].
+
+    Trigonometric closed form (stable for PSD covariance matrices) followed
+    by a branch-free cross-product nullspace extraction.
+    """
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    eye = jnp.eye(3, dtype=A.dtype)
+    B = A - q[..., None, None] * eye
+    p2 = jnp.sum(jnp.square(B), axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(B)
+    r = jnp.clip(detB / (2.0 * p ** 3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    C = A - lam_min[..., None, None] * eye
+    r0, r1, r2 = C[..., 0, :], C[..., 1, :], C[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    cands = jnp.stack([c01, c02, c12], axis=-2)          # [..., 3, 3]
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    vec = jnp.take_along_axis(cands, best[..., None, None],
+                              axis=-2)[..., 0, :]
+    n = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], A.dtype), vec.shape)
+    return jnp.where(n > 1e-12, vec / jnp.maximum(n, 1e-12), fallback)
+
+
+def estimate_normals(points: jax.Array, camera_pos: jax.Array,
+                     radius: float = 0.01, max_nn: int = 30,
+                     chunk: int = 4096) -> jax.Array:
+    """[N, 3] points -> [N, 3] unit normals oriented toward `camera_pos`."""
+    points = points.astype(jnp.float32)
+    N = points.shape[0]
+    r2 = jnp.float32(radius * radius)
+
+    pad = (-N) % chunk
+    padded = jnp.concatenate(
+        [points, jnp.full((pad, 3), 1e10, points.dtype)]) if pad else points
+    n_chunks = padded.shape[0] // chunk
+    q_chunks = padded.reshape(n_chunks, chunk, 3)
+
+    def per_chunk(q):
+        d2 = bpdist2(q[None], points[None])[0]          # [chunk, N]
+        neg, idx = lax.top_k(-d2, max_nn)
+        d2k = -neg                                      # ascending
+        valid = d2k <= r2
+        neigh = points[idx]                             # [chunk, K, 3]
+        w = valid.astype(jnp.float32)[..., None]
+        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        mean = jnp.sum(neigh * w, axis=1) / cnt
+        diff = (neigh - mean[:, None, :]) * w
+        cov = jnp.einsum("nki,nkj->nij", diff, diff,
+                         precision=lax.Precision.HIGHEST) / cnt[..., None]
+        return smallest_eigvec_3x3(cov)
+
+    normals = lax.map(per_chunk, q_chunks).reshape(-1, 3)[:N]
+
+    to_cam = camera_pos[None, :] - points
+    sign = jnp.sign(jnp.sum(normals * to_cam, axis=-1, keepdims=True))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return normals * sign

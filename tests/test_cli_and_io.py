@@ -1,0 +1,152 @@
+"""CLI smoke tests, output export, PCD reader, and visualization export."""
+
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from regnet_for_3d_grasping_tpu.utils.pcd import (
+    camera_to_global_transform,
+    read_pcd,
+    transform_points,
+)
+from regnet_for_3d_grasping_tpu.vis import show_grasp, write_ply
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ,
+           JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+
+def run_cli(args, timeout=900):
+    return subprocess.run(
+        [sys.executable, "-m"] + args, cwd=REPO, env=ENV,
+        capture_output=True, text=True, timeout=timeout)
+
+
+class TestTrainCLI:
+    def test_tiny_pretrain_score_epoch(self, tmp_path):
+        data = str(tmp_path / "data")
+        r = run_cli(["regnet_for_3d_grasping_tpu.cli.train",
+                     "--mode", "pretrain_score", "--tiny",
+                     "--data-path", data, "--synthetic-scenes", "6",
+                     "--epoch", "1", "--batch-size", "2",
+                     "--model-path", str(tmp_path / "models"),
+                     "--log-path", str(tmp_path / "log"),
+                     "--tag", "smoke"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "epoch 0: mean loss" in r.stdout
+        # checkpoint written
+        assert os.path.isdir(tmp_path / "models" / "smoke" / "ckpt_0")
+        # metrics logged
+        logf = tmp_path / "log" / "smoke" / "metrics.jsonl"
+        assert logf.exists() and logf.stat().st_size > 0
+
+
+class TestPCD:
+    def test_ascii_roundtrip(self, tmp_path, rng):
+        pts = rng.rand(50, 3).astype(np.float32)
+        path = tmp_path / "t.pcd"
+        with open(path, "w") as f:
+            f.write("# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\n"
+                    "SIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+                    f"WIDTH 50\nHEIGHT 1\nPOINTS 50\nDATA ascii\n")
+            for p in pts:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        got, colors = read_pcd(str(path))
+        np.testing.assert_allclose(got, pts, rtol=1e-5)
+        assert colors.shape == (50, 3)
+
+    def test_binary_with_rgb(self, tmp_path, rng):
+        pts = rng.rand(10, 3).astype(np.float32)
+        rgb = (np.arange(10, dtype=np.uint32) * 65536 + 128)
+        arr = np.zeros(10, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                                  ("rgb", "u4")])
+        arr["x"], arr["y"], arr["z"] = pts.T
+        arr["rgb"] = rgb
+        path = tmp_path / "b.pcd"
+        with open(path, "wb") as f:
+            f.write(b"VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\n"
+                    b"TYPE F F F U\nCOUNT 1 1 1 1\nWIDTH 10\nHEIGHT 1\n"
+                    b"POINTS 10\nDATA binary\n")
+            f.write(arr.tobytes())
+        got, colors = read_pcd(str(path))
+        np.testing.assert_allclose(got, pts, rtol=1e-5)
+        np.testing.assert_allclose(colors[:, 2], 128 / 255.0, atol=1e-6)
+
+    def test_camera_transform_is_rigid(self):
+        T = camera_to_global_transform()
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        pts = np.random.rand(5, 3)
+        out = transform_points(T, pts)
+        d_in = np.linalg.norm(pts[0] - pts[1])
+        d_out = np.linalg.norm(out[0] - out[1])
+        np.testing.assert_allclose(d_in, d_out, rtol=1e-10)
+
+
+class TestVis:
+    def test_show_grasp_writes_ply(self, tmp_path, rng):
+        pred = {
+            "points": rng.rand(100, 3).astype(np.float32),
+            "colors": rng.rand(100, 3).astype(np.float32),
+            "grasp_stage2": np.array(
+                [[0, 0, 0.8, 0, 1, 0, 0.1, 0.9],
+                 [0.1, 0, 0.8, 0, 1, 0, -0.2, 0.5]], np.float32),
+        }
+        p = tmp_path / "scene.p"
+        with open(p, "wb") as f:
+            pickle.dump(pred, f)
+        out = show_grasp(str(p), "grasp_stage2")
+        assert os.path.exists(out)
+        txt = open(out).read()
+        # 100 cloud points + 2 grasps x 3 boxes x 8 corners
+        assert "element vertex 148" in txt
+        assert "element edge 72" in txt
+
+    def test_write_ply_no_boxes(self, tmp_path, rng):
+        out = tmp_path / "c.ply"
+        write_ply(str(out), rng.rand(10, 3), rng.rand(10, 3), [])
+        assert "element vertex 10" in open(out).read()
+
+
+class TestExport:
+    def test_extract_grasp_sets_masks(self):
+        from regnet_for_3d_grasping_tpu.utils.export import (
+            extract_grasp_sets)
+        from regnet_for_3d_grasping_tpu.models.regnet import REGNetOutput
+        import jax.numpy as jnp
+
+        B, NC, R = 1, 4, 10
+        proposals = jnp.arange(B * NC * R, dtype=jnp.float32).reshape(
+            B, NC, R)
+        final = proposals + 100
+        out = REGNetOutput(
+            score=jnp.zeros((B, 8)),
+            centers=jnp.zeros((B, NC, 6)),
+            center_index=jnp.zeros((B, NC), jnp.int32),
+            region_valid=jnp.array([[True, True, True, False]]),
+            cls_logits=jnp.zeros((B, NC, 4)),
+            reg=jnp.zeros((B, NC, 4, R)),
+            anchor_index=jnp.zeros((B, NC), jnp.int32),
+            proposals=proposals,
+            crop_valid=jnp.array([[True, True, False, True]]),
+            refine_logits=jnp.zeros((B, NC, 2)),
+            refine_reg=jnp.zeros((B, NC, R)),
+            final_grasps=final,
+            refine_accept=jnp.array([[True, False, True, True]]),
+            score_accept=jnp.array([[True, False, False, True]]),
+        )
+        sets = extract_grasp_sets(out)[0]
+        assert len(sets["grasp_stage2"]) == 3    # region_valid
+        assert len(sets["grasp_stage3"]) == 2    # valid & accept
+        assert len(sets["grasp_stage3_score"]) == 1
+        assert sets["grasp_stage2"].shape[1] == 8
+        # stage3_stage2 carries the stage-2 pose of accepted grasps
+        np.testing.assert_array_equal(
+            np.asarray(sets["grasp_stage3_stage2"]),
+            np.asarray(sets["grasp_stage3"]) - 100)

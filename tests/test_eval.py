@@ -1,0 +1,191 @@
+"""Geometric evaluator tests: normals, collision filter, antipodal score,
+and the VGR pipeline on synthetic scenes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regnet_for_3d_grasping_tpu.data import make_synthetic_scene
+from regnet_for_3d_grasping_tpu.eval import (
+    check_grasps_scene,
+    check_grasps_view,
+    estimate_normals,
+    eval_test,
+    eval_validate,
+)
+from regnet_for_3d_grasping_tpu.eval.evaluator import (
+    EvalRecord,
+    evaluate_scene_grasps,
+    view_num_from_path,
+)
+from regnet_for_3d_grasping_tpu.eval.normals import smallest_eigvec_3x3
+from regnet_for_3d_grasping_tpu.geometry import frames_to_grasps
+from regnet_for_3d_grasping_tpu.utils.config import EvalConfig, GripperConfig
+
+GRIPPER = GripperConfig()
+ECFG = EvalConfig()
+TABLE = 0.75
+DEPTH = GRIPPER.depth
+
+
+class TestEigvec:
+    def test_matches_numpy_eigh(self, rng):
+        A = rng.randn(50, 3, 3).astype(np.float32)
+        A = np.einsum("nij,nkj->nik", A, A)  # PSD
+        got = np.asarray(smallest_eigvec_3x3(jnp.asarray(A)))
+        w, v = np.linalg.eigh(A)
+        expect = v[:, :, 0]
+        dots = np.abs(np.sum(got * expect, axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+
+class TestNormals:
+    def test_plane_normals(self, rng):
+        pts = np.c_[rng.rand(500, 2).astype(np.float32) * 0.1,
+                    np.zeros(500, np.float32)]
+        cam = np.array([0, 0, 1.0], np.float32)
+        n = np.asarray(estimate_normals(jnp.asarray(pts), jnp.asarray(cam)))
+        np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-2)
+        assert (n[:, 2] > 0).all()   # oriented toward the camera above
+
+    def test_sphere_normals_radial(self, rng):
+        v = rng.randn(800, 3).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = v * 0.05
+        cam = np.array([0, 0, 10.0], np.float32)
+        n = np.asarray(estimate_normals(jnp.asarray(pts), jnp.asarray(cam),
+                                        radius=0.02))
+        # normals should align with the radial direction (up to camera flip)
+        dots = np.abs(np.sum(n * v, axis=-1))
+        assert np.median(dots) > 0.95
+
+
+def _world_points(local, center=np.array([0., 0., 1.0])):
+    """Identity-frame grasp at `center`: world = local + center."""
+    return (np.asarray(local, np.float32) + center).astype(np.float32)
+
+
+def _grasp(center=np.array([0., 0., 1.0])):
+    """Identity-orientation grasp 8-vec (axis_y=+y, theta=0)."""
+    return np.array([[*center, 0, 1, 0, 0, 0.9]], np.float32)
+
+
+def _stick(n=20):
+    """Points along the approach axis inside the closing region."""
+    return np.c_[np.linspace(0.005, 0.025, n),
+                 np.zeros(n), np.zeros(n)]
+
+
+class TestViewCollision:
+    def test_clean_grasp_survives(self):
+        pts = _world_points(_stick())
+        ok = check_grasps_view(jnp.asarray(pts), jnp.asarray(_grasp()),
+                               TABLE, DEPTH, GRIPPER, ECFG,
+                               require_close_region=True, table_sign=-1.0)
+        assert bool(ok[0])
+
+    def test_too_few_points_rejected(self):
+        pts = _world_points(_stick(8))   # < NUM_POINTS_THRESHOLD
+        ok = check_grasps_view(jnp.asarray(pts), jnp.asarray(_grasp()),
+                               TABLE, DEPTH, GRIPPER, ECFG,
+                               require_close_region=True, table_sign=-1.0)
+        assert not bool(ok[0])
+
+    def test_back_collision_rejected(self):
+        local = np.vstack([_stick(), [[-0.01, 0.0, 0.0]]])
+        pts = _world_points(local)
+        ok = check_grasps_view(jnp.asarray(pts), jnp.asarray(_grasp()),
+                               TABLE, DEPTH, GRIPPER, ECFG,
+                               require_close_region=True, table_sign=-1.0)
+        assert not bool(ok[0])
+
+    def test_finger_collision_rejected(self):
+        local = np.vstack([_stick(), [[0.01, 0.045, 0.0]]])
+        pts = _world_points(local)
+        ok = check_grasps_view(jnp.asarray(pts), jnp.asarray(_grasp()),
+                               TABLE, DEPTH, GRIPPER, ECFG,
+                               require_close_region=True, table_sign=-1.0)
+        assert not bool(ok[0])
+
+    def test_below_table_rejected(self):
+        center = np.array([0., 0., 0.70])
+        pts = _world_points(_stick(), center)
+        ok = check_grasps_view(jnp.asarray(pts), jnp.asarray(_grasp(center)),
+                               TABLE, DEPTH, GRIPPER, ECFG,
+                               require_close_region=True, table_sign=-1.0)
+        assert not bool(ok[0])
+
+    def test_mixed_batch(self):
+        """Several grasps checked simultaneously give per-grasp verdicts."""
+        good = _grasp()
+        bad = _grasp(np.array([5., 5., 5.]))    # empty region
+        grasps = np.concatenate([good, bad])
+        pts = _world_points(_stick())
+        ok = np.asarray(check_grasps_view(
+            jnp.asarray(pts), jnp.asarray(grasps), TABLE, DEPTH, GRIPPER,
+            ECFG, require_close_region=True, table_sign=-1.0))
+        np.testing.assert_array_equal(ok, [True, False])
+
+
+class TestSceneAntipodal:
+    def _plates(self, normal_axis):
+        n = 30
+        left = np.c_[np.linspace(0.002, 0.028, n), np.full(n, 0.03),
+                     np.zeros(n)]
+        right = np.c_[np.linspace(0.002, 0.028, n), np.full(n, -0.03),
+                      np.zeros(n)]
+        local = np.vstack([left, right])
+        normals = np.zeros_like(local)
+        normals[:, normal_axis] = 1.0
+        return _world_points(local), normals.astype(np.float32)
+
+    def test_parallel_plates_score_high(self):
+        pts, normals = self._plates(normal_axis=1)   # normals along y
+        ok, score = check_grasps_scene(
+            jnp.asarray(pts), jnp.asarray(normals), jnp.asarray(_grasp()),
+            DEPTH, GRIPPER, ECFG)
+        assert bool(ok[0])
+        assert float(score[0]) > 0.95
+
+    def test_wrong_normals_score_low(self):
+        pts, normals = self._plates(normal_axis=0)   # normals along x
+        ok, score = check_grasps_scene(
+            jnp.asarray(pts), jnp.asarray(normals), jnp.asarray(_grasp()),
+            DEPTH, GRIPPER, ECFG)
+        assert bool(ok[0])
+        assert float(score[0]) < 0.05
+
+
+class TestEvaluatorFacade:
+    def test_eval_test_filters(self):
+        pts = _world_points(_stick())
+        grasps = np.concatenate([_grasp(), _grasp(np.array([9., 9., 9.]))])
+        out = eval_test(pts, grasps, None, TABLE, DEPTH, GRIPPER.width,
+                        GRIPPER, ECFG)
+        assert out.shape == (1, 8)
+
+    def test_eval_validate_on_synthetic_scene(self):
+        scene = make_synthetic_scene(1, num_view=8000)
+        frames = scene["select_frame"]      # [K, 3, 4]
+        grasps = np.asarray(frames_to_grasps(
+            jnp.asarray(frames[:, :3, :3]), jnp.asarray(frames[:, :3, 3]),
+            jnp.asarray(scene["select_antipodal_score"][:, None])))
+        vgr_count, score_sum, nocoll_view, view_ok, scene_ok = eval_validate(
+            scene, grasps, 0, TABLE, DEPTH, GRIPPER.width, GRIPPER, ECFG)
+        assert 0 <= vgr_count <= len(grasps)
+        assert nocoll_view >= vgr_count
+        assert score_sum >= 0
+        # at least one synthetic top-down grasp should clear the view check
+        assert nocoll_view > 0
+
+    def test_record_metrics(self):
+        r = EvalRecord(5, 2.5, 10, 20)
+        assert r.vgr == 0.5
+        assert r.vgr_before == 0.25
+        assert r.score == 0.25
+        r2 = r.add(EvalRecord(1, 0.5, 2, 4))
+        assert r2.vgr_count == 6
+
+    def test_view_num_parsing(self):
+        assert view_num_from_path("/x/4080_view_1.p") == 1
+        assert view_num_from_path("/x/4080_view_2_noise.p") == 2
