@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from regnet_for_3d_grasping_tpu import ops
+from regnet_for_3d_grasping_tpu.ops.sampling import bucket_choice
 from regnet_for_3d_grasping_tpu.geometry.codec import grasps_to_frames
 from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
 
@@ -85,7 +86,12 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
         c, k = args
         d2 = ops.bpdist2(c, xyz)                     # [B, chunk, N]
         mask = d2 <= r2
-        idx, any_valid, _ = ops.masked_random_choice(k, mask, group_num)
+        # stratified one-pass pick with random tiebreak — the fast
+        # equivalent of np.random.choice over the in-radius set
+        # (ops/sampling.bucket_choice; cloud index order is random)
+        noise = jax.random.uniform(k, mask.shape)
+        idx, any_valid, _ = bucket_choice(mask, group_num, score=noise)
+        idx = jnp.where(any_valid[..., None], idx, 0)
         return idx, any_valid
 
     idx, valid = lax.map(per_chunk, (c_chunks, keys))
@@ -133,7 +139,9 @@ def closing_region_crop(key: jax.Array, group_points_: jax.Array,
               & (jnp.abs(local[..., 1]) < gripper.width / 2)
               & (jnp.abs(local[..., 2]) < gripper.height / 2))
 
-    idx, _, count = ops.masked_random_choice(key, inside, gripper_num)
+    noise = jax.random.uniform(key, inside.shape)
+    idx, any_valid, count = bucket_choice(inside, gripper_num, score=noise)
+    idx = jnp.where(any_valid[..., None], idx, 0)
     valid = count > min_points
 
     local_sel = jnp.take_along_axis(local, idx[..., None], axis=-2)

@@ -24,7 +24,10 @@ from regnet_for_3d_grasping_tpu.ops.grouping import (
 )
 from regnet_for_3d_grasping_tpu.ops.knn import three_nn, three_interpolate
 from regnet_for_3d_grasping_tpu.ops.distances import bpdist2, pdist2
-from regnet_for_3d_grasping_tpu.ops.sampling import masked_random_choice
+from regnet_for_3d_grasping_tpu.ops.sampling import (
+    bucket_choice,
+    masked_random_choice,
+)
 
 __all__ = [
     "farthest_point_sample",
@@ -35,5 +38,6 @@ __all__ = [
     "three_interpolate",
     "bpdist2",
     "pdist2",
+    "bucket_choice",
     "masked_random_choice",
 ]

@@ -36,11 +36,24 @@ def three_nn(query: jax.Array, key: jax.Array, k: int = 3,
       ascending.
     """
     B, N1, _ = query.shape
+    N2 = key.shape[1]
     query = query.astype(jnp.float32)
     key = key.astype(jnp.float32)
 
     def solve(q):
         d2 = bpdist2(q, key)                     # [B, n, N2]
+        if k <= 4:
+            # unrolled argmin extraction: k fused VPU passes beat TPU
+            # top_k's sort-based lowering by ~10x at these shapes
+            ids = lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+            out_i, out_d = [], []
+            for _ in range(k):
+                i = jnp.argmin(d2, axis=-1)
+                v = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
+                out_i.append(i.astype(jnp.int32))
+                out_d.append(v)
+                d2 = jnp.where(ids == i[..., None], jnp.inf, d2)
+            return (jnp.stack(out_i, axis=-1), jnp.stack(out_d, axis=-1))
         neg, idx = lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg
 

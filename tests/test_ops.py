@@ -107,15 +107,40 @@ def np_ball_query(xyz, centers, radius, k):
 
 class TestBallQuery:
     @pytest.mark.parametrize("chunk", [7, 16, 4096])
-    def test_matches_numpy(self, rng, chunk):
+    def test_exact_matches_numpy(self, rng, chunk):
         xyz = rng.rand(2, 100, 3).astype(np.float32)
         centers = xyz[:, :10]
         got_idx, got_cnt = ops.ball_query(
-            jnp.asarray(xyz), jnp.asarray(centers), 0.25, 8, chunk=chunk)
+            jnp.asarray(xyz), jnp.asarray(centers), 0.25, 8, chunk=chunk,
+            method="exact")
         for b in range(2):
             ref_idx, ref_cnt = np_ball_query(xyz[b], centers[b], 0.25, 8)
             np.testing.assert_array_equal(np.asarray(got_cnt[b]), ref_cnt)
             np.testing.assert_array_equal(np.asarray(got_idx[b]), ref_idx)
+
+    @pytest.mark.parametrize("chunk", [3, 4096])
+    def test_bucket_selects_in_radius(self, rng, chunk):
+        xyz = rng.rand(2, 100, 3).astype(np.float32)
+        centers = xyz[:, :10]
+        idx, cnt = ops.ball_query(jnp.asarray(xyz), jnp.asarray(centers),
+                                  0.25, 8, chunk=chunk, method="bucket")
+        idx, cnt = np.asarray(idx), np.asarray(cnt)
+        for b in range(2):
+            _, ref_cnt = np_ball_query(xyz[b], centers[b], 0.25, 8)
+            np.testing.assert_array_equal(cnt[b], ref_cnt)
+            for m in range(10):
+                d = np.linalg.norm(xyz[b][idx[b, m]] - centers[b, m],
+                                   axis=-1)
+                assert (d < 0.25).all()
+
+    def test_bucket_count_capped_and_distinct(self, rng):
+        # many in-radius points: selection must return k distinct indices
+        xyz = rng.rand(1, 512, 3).astype(np.float32) * 0.01
+        centers = xyz[:, :1]
+        idx, cnt = ops.ball_query(jnp.asarray(xyz), jnp.asarray(centers),
+                                  0.5, 16, method="bucket")
+        assert int(cnt[0, 0]) == 16            # capped at K
+        assert len(set(np.asarray(idx)[0, 0].tolist())) == 16
 
     def test_centroid_always_within_own_ball(self, rng):
         xyz = rng.rand(1, 64, 3).astype(np.float32)
@@ -237,3 +262,53 @@ class TestMaskedRandomChoice:
                 counts[j] += 1
         freq = counts / counts.sum()
         assert freq.max() < 0.2 and freq.min() > 0.05
+
+
+class TestBucketChoice:
+    def test_selects_only_valid(self, rng):
+        mask = rng.rand(3, 64) > 0.5
+        idx, ok, cnt = ops.bucket_choice(jnp.asarray(mask), 8)
+        idx = np.asarray(idx)
+        assert np.asarray(ok).all()
+        for r in range(3):
+            assert mask[r][idx[r]].all()
+        np.testing.assert_array_equal(np.asarray(cnt), mask.sum(-1))
+
+    def test_default_score_prefers_small_index(self):
+        mask = np.ones((1, 16), bool)
+        idx, _, _ = ops.bucket_choice(jnp.asarray(mask), 4)
+        # 4 buckets of 4 -> first index of each bucket
+        np.testing.assert_array_equal(np.asarray(idx)[0], [0, 4, 8, 12])
+
+    def test_empty_buckets_pad_with_first_valid(self):
+        mask = np.zeros((1, 16), bool)
+        mask[0, 9] = True      # only bucket 2 valid
+        idx, ok, cnt = ops.bucket_choice(jnp.asarray(mask), 4)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [9, 9, 9, 9])
+        assert bool(ok[0]) and int(cnt[0]) == 1
+
+    def test_all_invalid_flagged(self):
+        mask = np.zeros((2, 16), bool)
+        idx, ok, cnt = ops.bucket_choice(jnp.asarray(mask), 4)
+        assert not np.asarray(ok).any()
+        assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 16).all()
+
+    def test_random_score_uniformish(self):
+        # with uniform noise scores every valid element is reachable
+        mask = jnp.ones((1, 12), bool)
+        counts = np.zeros(12)
+        for i in range(300):
+            noise = jax.random.uniform(jax.random.PRNGKey(i), (1, 12))
+            idx, _, _ = ops.bucket_choice(mask, 3, score=noise)
+            for j in np.asarray(idx)[0]:
+                counts[j] += 1
+        assert (counts > 0).all()
+
+    def test_non_divisible_padding(self, rng):
+        mask = rng.rand(2, 19) > 0.3
+        idx, ok, cnt = ops.bucket_choice(jnp.asarray(mask), 4)
+        idx = np.asarray(idx)
+        assert (idx < 19).all()
+        for r in range(2):
+            if np.asarray(ok)[r]:
+                assert mask[r][idx[r]].all()
