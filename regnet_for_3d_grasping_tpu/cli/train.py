@@ -44,6 +44,9 @@ def build_parser():
     p.add_argument("--num-points", type=int, default=25600)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model/shapes (smoke tests)")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ threaded batch loader "
+                        "(data/native_loader.py)")
     return p
 
 
@@ -180,11 +183,29 @@ def main(argv=None):
         run_eval_epoch(resume_epoch, args.mode, val_ds)
         return
 
+    native = None
+    if args.native_loader:
+        from regnet_for_3d_grasping_tpu.data.native_loader import (
+            NativeLoader, convert_dataset)
+        cache = os.path.join(args.data_path, "rsc_cache")
+        rsc = convert_dataset(train_ds.paths, cache)
+        native = NativeLoader(
+            rsc, batch_size, args.num_points, cfg.region.max_gt_grasps,
+            seed=args.seed)
+        print(f"native loader over {len(rsc)} cached scenes")
+
+    def epoch_batches(epoch):
+        if native is not None:
+            for _ in range(steps_per_epoch):
+                yield native.next_batch()
+        else:
+            yield from train_ds.batches(batch_size, seed=epoch)
+
     for epoch in range(resume_epoch, args.epoch):
         t0 = time.time()
         total = 0.0
         nb = 0
-        for batch in train_ds.batches(batch_size, seed=epoch):
+        for batch in epoch_batches(epoch):
             dbatch = trainer.device_batch(batch)
             if mesh is not None:
                 dbatch = shard_batch(dbatch, mesh)

@@ -62,6 +62,69 @@ class SetAbstraction(nn.Module):
         return new_xyz, jnp.max(h, axis=2)
 
 
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale-grouping SA: several (radius, K) scales concatenated.
+
+    Reference ``PointNetSAModuleMSG`` (modules.py:137-174) — present in the
+    reference library but unused by REGNet's forward path; provided for
+    library parity.
+    """
+
+    num_centroids: int
+    radii: Sequence[float]
+    num_neighbours: Sequence[int]
+    mlp_channels: Sequence[Sequence[int]]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, xyz: jax.Array, feature: Optional[jax.Array],
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        idx = ops.farthest_point_sample(xyz, self.num_centroids)
+        new_xyz = ops.gather_points(xyz, idx)
+        outs = []
+        for i, (radius, k) in enumerate(zip(self.radii,
+                                            self.num_neighbours)):
+            nidx, _ = ops.ball_query(xyz, new_xyz, radius, k)
+            group_xyz = ops.group_points(xyz, nidx) - new_xyz[:, :, None, :]
+            if feature is not None:
+                gf = jnp.concatenate(
+                    [group_xyz, ops.group_points(feature, nidx)], axis=-1)
+            else:
+                gf = group_xyz
+            h = SharedMLP(self.mlp_channels[i], dtype=self.dtype,
+                          name=f"mlp{i}")(gf, train=train)
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class SetAbstractionAvg(nn.Module):
+    """Mean-pooled SA variant (reference ``PointNetSAAvgModule``,
+    modules.py:255-...; unused by REGNet's forward path)."""
+
+    num_centroids: int
+    radius: float
+    num_neighbours: int
+    mlp_channels: Sequence[int]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, xyz: jax.Array, feature: Optional[jax.Array],
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        idx = ops.farthest_point_sample(xyz, self.num_centroids)
+        new_xyz = ops.gather_points(xyz, idx)
+        nidx, count = ops.ball_query(xyz, new_xyz, self.radius,
+                                     self.num_neighbours)
+        group_xyz = ops.group_points(xyz, nidx) - new_xyz[:, :, None, :]
+        if feature is not None:
+            gf = jnp.concatenate(
+                [group_xyz, ops.group_points(feature, nidx)], axis=-1)
+        else:
+            gf = group_xyz
+        h = SharedMLP(self.mlp_channels, dtype=self.dtype,
+                      name="mlp")(gf, train=train)
+        return new_xyz, jnp.mean(h, axis=2)
+
+
 class FeaturePropagation(nn.Module):
     """3-NN inverse-distance interpolation -> concat skip -> shared MLP.
 

@@ -1,0 +1,81 @@
+"""Library-parity extras: functional ops, freezer, MSG/Avg SA variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from regnet_for_3d_grasping_tpu.nn.freezer import (
+    freeze_mask,
+    frozen_optimizer,
+)
+from regnet_for_3d_grasping_tpu.nn.functional import (
+    encode_one_hot,
+    smooth_cross_entropy,
+)
+from regnet_for_3d_grasping_tpu.models.backbone import (
+    SetAbstractionAvg,
+    SetAbstractionMSG,
+)
+
+
+class TestFunctional:
+    def test_one_hot(self):
+        got = np.asarray(encode_one_hot(jnp.array([0, 2]), 3))
+        np.testing.assert_array_equal(got, [[1, 0, 0], [0, 0, 1]])
+
+    def test_smooth_ce_matches_plain_at_zero_smoothing(self, rng):
+        logits = jnp.asarray(rng.randn(8, 5).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 5, 8))
+        got = float(smooth_cross_entropy(logits, labels, 0.0))
+        expect = float(optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean())
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    def test_smoothing_increases_uncertain_loss(self, rng):
+        logits = jnp.asarray(rng.randn(8, 5).astype(np.float32) * 5)
+        labels = jnp.argmax(logits, -1)
+        plain = float(smooth_cross_entropy(logits, labels, 0.0))
+        smooth = float(smooth_cross_entropy(logits, labels, 0.2))
+        assert smooth > plain
+
+
+class TestFreezer:
+    def test_mask_and_updates(self):
+        params = {"score_net": {"w": jnp.ones(3)},
+                  "grn_head": {"w": jnp.ones(3)}}
+        mask = freeze_mask(params, [r"^score_net"])
+        assert mask["score_net"]["w"] is True
+        assert mask["grn_head"]["w"] is False
+        opt = frozen_optimizer(optax.sgd(0.1), params, [r"^score_net"])
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        upd, _ = opt.update(grads, state, params)
+        assert np.all(np.asarray(upd["score_net"]["w"]) == 0)
+        assert np.all(np.asarray(upd["grn_head"]["w"]) != 0)
+
+
+class TestSAVariants:
+    def _pc(self, rng):
+        xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        feat = jnp.asarray(rng.rand(2, 64, 4).astype(np.float32))
+        return xyz, feat
+
+    def test_msg_shapes(self, rng):
+        xyz, feat = self._pc(rng)
+        m = SetAbstractionMSG(num_centroids=16, radii=(0.2, 0.4),
+                              num_neighbours=(4, 8),
+                              mlp_channels=((8, 8), (8, 16)))
+        v = m.init(jax.random.PRNGKey(0), xyz, feat)
+        nx, nf = m.apply(v, xyz, feat)
+        assert nx.shape == (2, 16, 3)
+        assert nf.shape == (2, 16, 8 + 16)   # concat across scales
+
+    def test_avg_shapes(self, rng):
+        xyz, feat = self._pc(rng)
+        m = SetAbstractionAvg(num_centroids=16, radius=0.3,
+                              num_neighbours=8, mlp_channels=(8, 8))
+        v = m.init(jax.random.PRNGKey(0), xyz, feat)
+        nx, nf = m.apply(v, xyz, feat)
+        assert nx.shape == (2, 16, 3)
+        assert nf.shape == (2, 16, 8)
