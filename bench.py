@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from regnet_for_3d_grasping_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
     from regnet_for_3d_grasping_tpu.data import make_synthetic_scene
     from regnet_for_3d_grasping_tpu.models import REGNet
     from regnet_for_3d_grasping_tpu.utils.config import infer_config

@@ -77,6 +77,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from regnet_for_3d_grasping_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
     from regnet_for_3d_grasping_tpu.models import REGNet
     from regnet_for_3d_grasping_tpu.utils.config import infer_config
     from regnet_for_3d_grasping_tpu.utils import checkpoint as ckpt

@@ -47,6 +47,10 @@ def build_parser():
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ threaded batch loader "
                         "(data/native_loader.py)")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="capture a jax.profiler trace of steps 3-8 of the "
+                        "first epoch (replaces the reference's ad-hoc "
+                        "time.time() prints, train.py:372-382)")
     return p
 
 
@@ -63,6 +67,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+
+    from regnet_for_3d_grasping_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
 
     from regnet_for_3d_grasping_tpu.data import (
         GraspDataset, load_scene, write_synthetic_dataset)
@@ -201,11 +209,21 @@ def main(argv=None):
         else:
             yield from train_ds.batches(batch_size, seed=epoch)
 
+    profiling = False
     for epoch in range(resume_epoch, args.epoch):
         t0 = time.time()
         total = 0.0
         nb = 0
         for batch in epoch_batches(epoch):
+            if args.profile_dir and epoch == resume_epoch:
+                if nb == 3 and not profiling:
+                    jax.profiler.start_trace(args.profile_dir)
+                    profiling = True
+                elif nb == 8 and profiling:
+                    jax.block_until_ready(state)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {args.profile_dir}")
             dbatch = trainer.device_batch(batch)
             if mesh is not None:
                 dbatch = shard_batch(dbatch, mesh)
@@ -217,6 +235,10 @@ def main(argv=None):
             nb += 1
             print(f"train epoch {epoch} [{nb}/{steps_per_epoch}] "
                   f"loss {float(metrics['loss_total']):.4f}")
+        if profiling:
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+            profiling = False
         logger.scalar("epoch_train_loss", total / max(nb, 1), epoch)
         print(f"epoch {epoch}: mean loss {total / max(nb, 1):.4f} "
               f"({time.time() - t0:.1f}s)")

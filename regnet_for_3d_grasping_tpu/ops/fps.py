@@ -24,6 +24,20 @@ from jax import lax
 
 _INF = jnp.float32(1e10)
 
+# Above this N*S product the Pallas kernel (ops/fps_pallas.py) wins by ~3x;
+# below it the lax.scan version is cheap and avoids a ~5min Mosaic compile
+# per shape variant (cached persistently thereafter — utils/cache.py).
+_PALLAS_WORK_THRESHOLD = 1 << 24
+
+
+def _use_pallas(n: int, num_samples: int) -> bool:
+    if n * num_samples < _PALLAS_WORK_THRESHOLD:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
 
 def farthest_point_sample(xyz: jax.Array, num_samples: int,
                           mask: jax.Array | None = None) -> jax.Array:
@@ -59,6 +73,11 @@ def farthest_point_sample(xyz: jax.Array, num_samples: int,
     # Invalid points carry a sentinel distance of -1 so they lose every argmax
     # against valid points (whose min-distance is >= 0).
     dist = jnp.where(valid, _INF, jnp.float32(-1.0))
+
+    if _use_pallas(N, num_samples):
+        from regnet_for_3d_grasping_tpu.ops.fps_pallas import fps_pallas
+        return fps_pallas(xyz, dist, num_samples)
+
     start = jnp.argmax(valid, axis=1).astype(jnp.int32)
 
     def step(carry, _):
