@@ -101,6 +101,59 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
     return RegionGroups(idx.astype(jnp.int32), points, valid)
 
 
+def group_regions_two_scales(
+    key: jax.Array, pc: jax.Array, centers: jax.Array,
+    group_num: int, radius: float,
+    group_num_more: int, radius_more: float,
+    center_chunk: int = 1024,
+) -> Tuple[RegionGroups, RegionGroups]:
+    """Both region scales from ONE distance matrix.
+
+    The reference computes the center->point distances twice
+    (get_grasp_allobj calls _get_group_pc per scale,
+    get_regiondataset.py:36-37); the two scales share centers, so one
+    bpdist2 pass feeds both radius masks.
+    """
+    B, N, _ = pc.shape
+    NC = centers.shape[1]
+    r2a = jnp.float32(radius * radius)
+    r2b = jnp.float32(radius_more * radius_more)
+    xyz = pc[..., :3].astype(jnp.float32)
+    cxyz = centers[..., :3].astype(jnp.float32)
+
+    chunk = min(center_chunk, NC)
+    pad = (-NC) % chunk
+    if pad:
+        cxyz = jnp.concatenate(
+            [cxyz, jnp.full((B, pad, 3), 1e10, cxyz.dtype)], axis=1)
+    n_chunks = cxyz.shape[1] // chunk
+    c_chunks = jnp.moveaxis(cxyz.reshape(B, n_chunks, chunk, 3), 1, 0)
+    keys = jax.random.split(key, n_chunks * 2).reshape(n_chunks, 2, -1)
+
+    def per_chunk(args):
+        c, k = args
+        d2 = ops.bpdist2(c, xyz)
+        out = []
+        for r2, g, kk in ((r2a, group_num, k[0]), (r2b, group_num_more,
+                                                   k[1])):
+            mask = d2 <= r2
+            noise = jax.random.uniform(kk, mask.shape)
+            idx, any_valid, _ = bucket_choice(mask, g, score=noise)
+            out.append((jnp.where(any_valid[..., None], idx, 0),
+                        any_valid))
+        return tuple(out)
+
+    (ia, va), (ib, vb) = lax.map(per_chunk, (c_chunks, keys))
+
+    def finish(idx, valid, g):
+        idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, g)[:, :NC]
+        valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
+        return RegionGroups(idx.astype(jnp.int32),
+                            ops.group_points(pc, idx), valid)
+
+    return finish(ia, va, group_num), finish(ib, vb, group_num_more)
+
+
 class ClosingRegion(NamedTuple):
     points: jax.Array        # [B, NC, K, C] gripper-frame xyz + colors
     index_in_all: jax.Array  # [B, NC, K] indices into the full cloud

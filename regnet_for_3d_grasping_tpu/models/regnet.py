@@ -29,7 +29,7 @@ from regnet_for_3d_grasping_tpu.geometry.codec import (
 )
 from regnet_for_3d_grasping_tpu.geometry.region import (
     closing_region_crop,
-    group_regions,
+    group_regions_two_scales,
     select_score_centers,
 )
 from regnet_for_3d_grasping_tpu.models.heads import RefineHead, TwoStageHead
@@ -106,16 +106,14 @@ class REGNet(nn.Module):
         feature, score = self.score_net(pc, train=train)
 
         key = self.make_rng("sampling")
-        k_group, k_more, k_crop = jax.random.split(key, 3)
+        k_group, k_crop = jax.random.split(key)
 
         # --- GRN: candidate centers + two region scales ------------------
         centers, center_idx = select_score_centers(
             pc, score, region.center_num, region.score_thre)
-        groups = group_regions(k_group, pc, centers, region.group_num,
-                               cfg.group_radius)
-        groups_more = group_regions(k_more, pc, centers,
-                                    region.group_num_more,
-                                    cfg.group_radius_more)
+        groups, groups_more = group_regions_two_scales(
+            k_group, pc, centers, region.group_num, cfg.group_radius,
+            region.group_num_more, cfg.group_radius_more)
 
         # per-point backbone features of each region (grn:389-395)
         region_feat = ops.group_points(feature, groups.index)

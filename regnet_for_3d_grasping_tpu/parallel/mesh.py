@@ -28,6 +28,30 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_multislice_mesh(num_slices: int,
+                         devices: Optional[Sequence[jax.Device]] = None,
+                         dcn_axis: str = "dcn",
+                         ici_axis: str = "data") -> Mesh:
+    """2-D (DCN x ICI) mesh for multi-slice data parallelism.
+
+    The batch shards over BOTH axes (`multislice_batch_spec`); XLA then
+    performs the gradient reduction hierarchically — reduce-scatter over
+    ICI within each slice, all-reduce of the partial sums over DCN — which
+    is the bandwidth-optimal layout for pure DP (scaling-book recipe).
+    With `num_slices=1` this degenerates to `make_mesh`.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) % num_slices == 0, (num_slices, len(devices))
+    arr = np.asarray(devices).reshape(num_slices,
+                                      len(devices) // num_slices)
+    return Mesh(arr, (dcn_axis, ici_axis))
+
+
+def multislice_batch_spec(mesh: Mesh) -> P:
+    """Batch axis sharded over every mesh axis (DP over DCN x ICI)."""
+    return P(tuple(mesh.axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard axis 0 (the batch) across the mesh."""
     return NamedSharding(mesh, P(axis_name))
@@ -37,7 +61,9 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put a pytree of host arrays with axis-0 sharding."""
-    sh = batch_sharding(mesh, axis_name)
+def shard_batch(batch, mesh: Mesh, axis_name=None):
+    """Device-put a pytree of host arrays with axis-0 sharding over all
+    (or the named) mesh axes."""
+    spec = P(tuple(mesh.axis_names)) if axis_name is None else P(axis_name)
+    sh = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

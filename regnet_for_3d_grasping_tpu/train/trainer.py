@@ -106,8 +106,13 @@ def _step_body(model: REGNet, optimizer, cfg: PipelineConfig, stage: str,
     with_stage2 = stage in ("region", "refine")
 
     if axis_name is not None:
-        # decorrelate sampling across shards
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        # decorrelate sampling across shards (works for 1-D and
+        # multi-slice meshes: flatten the per-axis indices)
+        axes = (axis_name,) if isinstance(axis_name, str) else axis_name
+        shard = jnp.int32(0)
+        for ax in axes:
+            shard = shard * jax.lax.psum(1, ax) + jax.lax.axis_index(ax)
+        key = jax.random.fold_in(key, shard)
     k_sample, k_drop = jax.random.split(key)
 
     def loss_fn(params):
@@ -141,18 +146,21 @@ def _step_body(model: REGNet, optimizer, cfg: PipelineConfig, stage: str,
 
 def make_train_step(model: REGNet, optimizer, cfg: PipelineConfig,
                     stage: str = "refine", mesh: Mesh | None = None,
-                    axis_name: str = "data"):
-    """Build the jitted train step; with a mesh, shard_map over `data`."""
+                    axis_name=None):
+    """Build the jitted train step; with a mesh, shard_map the batch over
+    every mesh axis (1-D ICI DP or multi-slice DCN x ICI DP)."""
     if mesh is None:
         body = functools.partial(_step_body, model, optimizer, cfg, stage,
                                  None)
         return jax.jit(body)
 
+    axes = tuple(mesh.axis_names) if axis_name is None else (
+        (axis_name,) if isinstance(axis_name, str) else tuple(axis_name))
     body = functools.partial(_step_body, model, optimizer, cfg, stage,
-                             axis_name)
+                             axes)
     repl = P()
     state_spec = TrainState(repl, repl, repl, repl)
-    batch_spec = DeviceBatch(*([P(axis_name)] * len(DeviceBatch._fields)))
+    batch_spec = DeviceBatch(*([P(axes)] * len(DeviceBatch._fields)))
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(state_spec, batch_spec, repl),
