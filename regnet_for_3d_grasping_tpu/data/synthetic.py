@@ -22,7 +22,7 @@ TABLE_HEIGHT = 0.75
 def _sample_sphere(rng, center, radius, n):
     v = rng.randn(n, 3)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
-    return center + radius * v
+    return center + radius * v, v      # outward normal = radial
 
 
 def _sample_box(rng, center, size, n):
@@ -31,7 +31,9 @@ def _sample_box(rng, center, size, n):
     face = rng.randint(0, 3, n)
     sign = rng.choice([-0.5, 0.5], n)
     pts[np.arange(n), face] = sign * size[face]
-    return center + pts
+    normals = np.zeros((n, 3))
+    normals[np.arange(n), face] = np.sign(sign)
+    return center + pts, normals
 
 
 def make_synthetic_scene(seed: int, num_view: int = 12000,
@@ -40,29 +42,35 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
     """Build one scene dict in the reference pickle schema."""
     rng = np.random.RandomState(seed)
 
-    obj_pts, obj_labels, obj_tops = [], [], []
+    obj_pts, obj_normals, obj_labels, obj_tops = [], [], [], []
     n_obj_pts = int(num_view * 0.6) // num_objects
     for i in range(num_objects):
         cx, cy = rng.uniform(-0.25, 0.25, 2)
         if rng.rand() < 0.5:
             r = rng.uniform(0.02, 0.035)
             cz = TABLE_HEIGHT + r
-            pts = _sample_sphere(rng, np.array([cx, cy, cz]), r, n_obj_pts)
+            pts, nrm = _sample_sphere(rng, np.array([cx, cy, cz]), r,
+                                      n_obj_pts)
             top = np.array([cx, cy, cz + r])
         else:
             size = rng.uniform(0.03, 0.06, 3)
             cz = TABLE_HEIGHT + size[2] / 2
-            pts = _sample_box(rng, np.array([cx, cy, cz]), size, n_obj_pts)
+            pts, nrm = _sample_box(rng, np.array([cx, cy, cz]), size,
+                                   n_obj_pts)
             top = np.array([cx, cy, cz + size[2] / 2])
-        pts = pts[pts[:, 2] >= TABLE_HEIGHT - 1e-4]
-        obj_pts.append(pts)
-        obj_labels.append(np.full(len(pts), i + 1))
+        keep = pts[:, 2] >= TABLE_HEIGHT - 1e-4
+        obj_pts.append(pts[keep])
+        obj_normals.append(nrm[keep])
+        obj_labels.append(np.full(keep.sum(), i + 1))
         obj_tops.append(top)
 
     n_table = num_view - sum(len(p) for p in obj_pts)
     table = np.c_[rng.uniform(-0.35, 0.35, (n_table, 2)),
                   np.full(n_table, TABLE_HEIGHT)]
+    table_n = np.tile([0.0, 0.0, 1.0], (n_table, 1))
     view = np.concatenate(obj_pts + [table]).astype(np.float32)
+    view_normal = np.concatenate(obj_normals + [table_n]).astype(
+        np.float32)
     label = np.concatenate(obj_labels + [np.zeros(n_table)]).astype(
         np.float32)
 
@@ -98,9 +106,7 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
     n_scene = num_view * scene_multiple
     idx = np.random.RandomState(seed + 1).randint(0, num_view, n_scene)
     scene = view[idx] + rng.randn(n_scene, 3).astype(np.float32) * 1e-4
-    # analytic-ish normals: spheres/boxes approximated by outward direction
-    normal = np.zeros_like(scene)
-    normal[:, 2] = 1.0
+    normal = view_normal[idx]    # exact analytic surface normals
 
     return {
         "view_cloud": view,

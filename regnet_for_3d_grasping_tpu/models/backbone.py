@@ -205,5 +205,7 @@ class PointNet2Seg(nn.Module):
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=1.0 - cfg.bn_momentum, epsilon=1e-5,
                          dtype=self.dtype, name="score_bn")(x)
-        score = nn.sigmoid(x)[..., 0]
+        # scores feed threshold comparisons (center selection) — keep f32
+        # even under a bf16 compute dtype
+        score = nn.sigmoid(x.astype(jnp.float32))[..., 0]
         return sparse_feat, score
