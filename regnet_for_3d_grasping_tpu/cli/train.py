@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ threaded batch loader "
                         "(data/native_loader.py)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone activations in backward "
+                        "(fits larger per-chip batches)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax.profiler trace of steps 3-8 of the "
                         "first epoch (replaces the reference's ad-hoc "
@@ -99,6 +102,10 @@ def main(argv=None):
             "train.lr_score": args.lr_score,
             "train.lr_region": args.lr_region,
         })
+    if args.remat:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat_backbone=True))
 
     if args.synthetic_scenes:
         write_synthetic_dataset(args.data_path, args.synthetic_scenes,

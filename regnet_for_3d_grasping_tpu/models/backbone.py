@@ -170,16 +170,25 @@ class PointNet2Seg(nn.Module):
         if feature.shape[-1] == 0:
             feature = None
 
+        # optional activation rematerialization (train-memory knob):
+        # the neighbourhood-expanded SA tensors ([B,S,K,C]) dominate
+        # training memory; remat recomputes them in backward
+        # static_argnums index includes the module as args[0]
+        SA = nn.remat(SetAbstraction, static_argnums=(3,)) \
+            if cfg.remat_backbone else SetAbstraction
+        FP = nn.remat(FeaturePropagation, static_argnums=(5,)) \
+            if cfg.remat_backbone else FeaturePropagation
+
         inter_xyz = [xyz]
         inter_feat = [feature]
         for i in range(len(cfg.num_centroids)):
-            xyz, feature = SetAbstraction(
+            xyz, feature = SA(
                 num_centroids=cfg.num_centroids[i],
                 radius=cfg.radii[i],
                 num_neighbours=cfg.num_neighbours[i],
                 mlp_channels=cfg.sa_channels[i],
                 dtype=self.dtype,
-                name=f"sa{i}")(xyz, feature, train=train)
+                name=f"sa{i}")(xyz, feature, train)
             inter_xyz.append(xyz)
             inter_feat.append(feature)
 
@@ -187,12 +196,12 @@ class PointNet2Seg(nn.Module):
         for i in range(len(cfg.fp_channels)):
             dense_xyz = inter_xyz[-2 - i]
             dense_feat = inter_feat[-2 - i]
-            sparse_feat = FeaturePropagation(
+            sparse_feat = FP(
                 mlp_channels=cfg.fp_channels[i],
                 num_neighbours=cfg.num_fp_neighbours[i],
                 dtype=self.dtype,
                 name=f"fp{i}")(dense_xyz, sparse_xyz, dense_feat,
-                               sparse_feat, train=train)
+                               sparse_feat, train)
             sparse_xyz = dense_xyz
 
         # sparse_feat is the 256-d per-point feature returned to GRN

@@ -70,6 +70,9 @@ class ModelConfig:
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     bn_momentum: float = 0.1         # torch convention; flax momentum = 1 - this
     bn_epsilon: float = 1e-5
+    # Rematerialize SA/FP activations in backward (trades ~1 extra forward
+    # for the SA1 activation memory — enables batch 12+ per chip)
+    remat_backbone: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,7 +122,6 @@ class TrainConfig:
     lr_gamma: float = 0.5
     seed: int = 1
     data_parallel_axis: str = "data"
-    remat_backbone: bool = True  # jax.checkpoint the SA/FP stack
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,7 +29,7 @@ def run_cli(args, timeout=900):
 
 
 class TestTrainCLI:
-    def test_tiny_pretrain_score_epoch(self, tmp_path):
+    def test_tiny_pretrain_then_validate(self, tmp_path):
         data = str(tmp_path / "data")
         r = run_cli(["regnet_for_3d_grasping_tpu.cli.train",
                      "--mode", "pretrain_score", "--tiny",
@@ -45,6 +45,18 @@ class TestTrainCLI:
         # metrics logged
         logf = tmp_path / "log" / "smoke" / "metrics.jsonl"
         assert logf.exists() and logf.stat().st_size > 0
+
+        # validate_score resumes the checkpoint and logs eval metrics
+        r2 = run_cli(["regnet_for_3d_grasping_tpu.cli.train",
+                      "--mode", "validate_score", "--tiny",
+                      "--data-path", data, "--resume",
+                      "--model-path", str(tmp_path / "models"),
+                      "--log-path", str(tmp_path / "log"),
+                      "--tag", "smoke"])
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "resumed from epoch 0" in r2.stdout
+        log = open(logf).read()
+        assert "validate_score" in log
 
 
 class TestPCD:

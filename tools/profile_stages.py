@@ -1,0 +1,100 @@
+"""Per-stage timing of the inference pipeline on the attached device.
+
+Usage: python tools/profile_stages.py [--centers 4000] [--bf16]
+
+Times each pipeline stage in isolation (amortized dispatches, scalar
+fetch — see .claude/skills/verify/SKILL.md for why) so perf work targets
+the right op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def bench(name, fn, *args, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda *a: sum(
+        jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(fn(*a))))
+    float(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(*args)
+    float(r)
+    dt = (time.perf_counter() - t0) / iters * 1000
+    print(f"{name:44s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--centers", type=int, default=4000)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from regnet_for_3d_grasping_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    from regnet_for_3d_grasping_tpu import ops
+    from regnet_for_3d_grasping_tpu.data import make_synthetic_scene
+    from regnet_for_3d_grasping_tpu.geometry import region as R
+    from regnet_for_3d_grasping_tpu.models import REGNet, ScoreNet
+    from regnet_for_3d_grasping_tpu.utils.config import infer_config
+
+    cfg = infer_config(**{"region.center_num": args.centers})
+    dtype = jnp.bfloat16 if args.bf16 else None
+    scene = make_synthetic_scene(0, num_view=cfg.region.num_points)
+    pc = jnp.asarray(np.c_[scene["view_cloud"],
+                           scene["view_cloud_color"]][None].astype(
+                               np.float32))
+    print(f"device={jax.devices()[0]}  centers={args.centers}  "
+          f"dtype={'bf16' if args.bf16 else 'f32'}")
+
+    snet = ScoreNet(cfg.model, dtype=dtype)
+    sv = jax.jit(lambda: snet.init(jax.random.PRNGKey(0), pc))()
+    t_backbone = bench("ScoreNet backbone", lambda x: snet.apply(sv, x), pc)
+
+    feature, score = jax.jit(lambda x: snet.apply(sv, x))(pc)
+    centers, _ = R.select_score_centers(pc, score, cfg.region.center_num,
+                                        cfg.region.score_thre)
+    key = jax.random.PRNGKey(0)
+    bench("center select (masked FPS)",
+          lambda p, s: R.select_score_centers(
+              p, s, cfg.region.center_num, cfg.region.score_thre),
+          pc, score)
+    bench("two-scale grouping",
+          lambda k, p, c: R.group_regions_two_scales(
+              k, p, c, cfg.region.group_num, cfg.group_radius,
+              cfg.region.group_num_more, cfg.group_radius_more),
+          key, pc, centers)
+    groups, groups_more = R.group_regions_two_scales(
+        key, pc, centers, cfg.region.group_num, cfg.group_radius,
+        cfg.region.group_num_more, cfg.group_radius_more)
+    bench("region feature gather",
+          lambda f, i: ops.group_points(f, i), feature, groups.index)
+    grasp = jnp.zeros((1, args.centers, 8)).at[..., 4].set(1.0)
+    bench("closing-region crop",
+          lambda k, gp, gi, g: R.closing_region_crop(
+              k, gp, gi, g, cfg.gripper, cfg.region.gripper_num),
+          key, groups_more.points, groups_more.index, grasp)
+
+    model = REGNet(cfg, dtype=dtype)
+    mv = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "sampling": jax.random.PRNGKey(1)}, pc))()
+    total = bench("FULL forward", lambda x, k: model.apply(
+        mv, x, rngs={"sampling": k}), pc, jax.random.PRNGKey(2), iters=10)
+    print(f"\n=> {1000.0 / total:.2f} clouds/sec")
+
+
+if __name__ == "__main__":
+    main()
