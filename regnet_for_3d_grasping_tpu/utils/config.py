@@ -180,10 +180,16 @@ def tiny_config(**overrides) -> PipelineConfig:
 def _override(cfg: PipelineConfig, overrides: dict) -> PipelineConfig:
     """Apply {'region.center_num': 4000}-style or section-level overrides."""
     for key, val in overrides.items():
-        if "." in key:
-            section, field = key.split(".", 1)
-            sub = dataclasses.replace(getattr(cfg, section), **{field: val})
-            cfg = dataclasses.replace(cfg, **{section: sub})
-        else:
-            cfg = dataclasses.replace(cfg, **{key: val})
+        try:
+            if "." in key:
+                section, field = key.split(".", 1)
+                sub = dataclasses.replace(getattr(cfg, section),
+                                          **{field: val})
+                cfg = dataclasses.replace(cfg, **{section: sub})
+            else:
+                cfg = dataclasses.replace(cfg, **{key: val})
+        except TypeError as e:
+            raise KeyError(
+                f"unknown config override {key!r}: {e}; available fields "
+                "are defined in utils/config.py") from e
     return cfg
