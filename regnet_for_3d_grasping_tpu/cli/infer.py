@@ -118,11 +118,14 @@ def main(argv=None):
                 {"params": jax.random.PRNGKey(0),
                  "sampling": jax.random.PRNGKey(1)}, x))()
             if args.checkpoint:
-                restored, _ = ckpt.restore_checkpoint(
-                    args.checkpoint,
-                    target={"params": variables["params"],
-                            "batch_stats": variables["batch_stats"]})
-                variables = restored
+                # train checkpoints carry optimizer state too; restore
+                # untargeted and keep the inference subset (plain dicts
+                # are fine for model.apply)
+                restored, epoch = ckpt.restore_checkpoint(args.checkpoint)
+                variables = {"params": restored["params"],
+                             "batch_stats": restored["batch_stats"]}
+                print(f"restored checkpoint epoch {epoch - 1} "
+                      f"from {args.checkpoint}")
 
         t0 = time.time()
         out = jax.block_until_ready(
