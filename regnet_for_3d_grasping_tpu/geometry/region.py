@@ -52,13 +52,14 @@ def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
 
 class RegionGroups(NamedTuple):
     index: jax.Array    # [B, NC, G] indices into N
-    points: jax.Array   # [B, NC, G, C]
+    points: jax.Array | None   # [B, NC, G, C] (None when with_points=False)
     valid: jax.Array    # [B, NC] bool — region had >=1 point in radius
 
 
 def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
                   group_num: int, radius: float,
-                  center_chunk: int = 1024) -> RegionGroups:
+                  center_chunk: int = 1024,
+                  with_points: bool = True) -> RegionGroups:
     """Sample `group_num` points within `radius` of each center.
 
     Over-populated regions get a uniform subset without replacement,
@@ -97,7 +98,7 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
     idx, valid = lax.map(per_chunk, (c_chunks, keys))
     idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, group_num)[:, :NC]
     valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
-    points = ops.group_points(pc, idx)
+    points = ops.group_points(pc, idx) if with_points else None
     return RegionGroups(idx.astype(jnp.int32), points, valid)
 
 
@@ -106,6 +107,7 @@ def group_regions_two_scales(
     group_num: int, radius: float,
     group_num_more: int, radius_more: float,
     center_chunk: int = 1024,
+    with_points: bool = True,
 ) -> Tuple[RegionGroups, RegionGroups]:
     """Both region scales from ONE distance matrix.
 
@@ -148,41 +150,47 @@ def group_regions_two_scales(
     def finish(idx, valid, g):
         idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, g)[:, :NC]
         valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
-        return RegionGroups(idx.astype(jnp.int32),
-                            ops.group_points(pc, idx), valid)
+        return RegionGroups(
+            idx.astype(jnp.int32),
+            ops.group_points(pc, idx) if with_points else None, valid)
 
     return finish(ia, va, group_num), finish(ib, vb, group_num_more)
 
 
 class ClosingRegion(NamedTuple):
-    points: jax.Array        # [B, NC, K, C] gripper-frame xyz + colors
-    index_in_all: jax.Array  # [B, NC, K] indices into the full cloud
-    valid: jax.Array         # [B, NC] bool — > min_points inside the gripper
+    points: jax.Array | None  # [B, NC, K, C] gripper-frame xyz + colors
+    index_in_all: jax.Array   # [B, NC, K] indices into the full cloud
+    valid: jax.Array          # [B, NC] bool — > min_points in the gripper
 
 
-def closing_region_crop(key: jax.Array, group_points_: jax.Array,
+def closing_region_crop(key: jax.Array, pc: jax.Array,
                         group_index: jax.Array, grasp: jax.Array,
                         gripper: GripperConfig, gripper_num: int,
-                        min_points: int = 5) -> ClosingRegion:
+                        min_points: int = 5,
+                        with_points: bool = True) -> ClosingRegion:
     """Crop the points inside each proposed gripper's closing volume.
 
     Args:
       key: PRNG key (point subsampling).
-      group_points_: [B, NC, GM, C] wide-region points (world frame).
-      group_index: [B, NC, GM] their indices into the full cloud.
+      pc: [B, N, C] the full cloud (world frame, xyz first).
+      group_index: [B, NC, GM] wide-region point indices into N.
       grasp: [B, NC, >=7] proposed grasps (center, axis_y, theta, ...).
       gripper: gripper geometry; box is x in (0, depth/2), |y| < width/2,
         |z| < height/2 (gripper_region_network.py:512-531).
       gripper_num: K points to keep per proposal.
       min_points: proposals with <= this many inside points are invalid
         (reference requires len(index) > 5, grn:539).
+      with_points: also materialize the K gripper-frame points + colors
+        (the cascade only consumes `index_in_all`, so the model passes
+        False and skips those gathers).
 
     Returns:
       ClosingRegion with gripper-frame coordinates (xyz transformed, colors
-      passed through — grn:540).
+      passed through — grn:540) when with_points, else points=None.
     """
     frame, center = grasps_to_frames(grasp)           # [B,NC,3,3], [B,NC,3]
-    rel = group_points_[..., :3] - center[..., None, :]
+    xyz_g = ops.group_points(pc[..., :3], group_index)  # [B,NC,GM,3]
+    rel = xyz_g - center[..., None, :]
     # local = frame^T @ rel  (columns of frame are the gripper axes)
     local = jnp.einsum("...ij,...ki->...kj", frame, rel,
                        precision=lax.Precision.HIGHEST)  # [B,NC,GM,3]
@@ -196,10 +204,66 @@ def closing_region_crop(key: jax.Array, group_points_: jax.Array,
     idx, any_valid, count = bucket_choice(inside, gripper_num, score=noise)
     idx = jnp.where(any_valid[..., None], idx, 0)
     valid = count > min_points
-
-    local_sel = jnp.take_along_axis(local, idx[..., None], axis=-2)
-    color_sel = jnp.take_along_axis(
-        group_points_[..., 3:], idx[..., None], axis=-2)
-    pts = jnp.concatenate([local_sel, color_sel], axis=-1)
     index_in_all = jnp.take_along_axis(group_index, idx, axis=-1)
+
+    pts = None
+    if with_points:
+        local_sel = jnp.take_along_axis(local, idx[..., None], axis=-2)
+        color_sel = ops.group_points(pc[..., 3:], index_in_all)
+        pts = jnp.concatenate([local_sel, color_sel], axis=-1)
     return ClosingRegion(pts, index_in_all.astype(jnp.int32), valid)
+
+
+def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
+                              grasp: jax.Array, gripper: GripperConfig,
+                              gripper_num: int, min_points: int = 5,
+                              proposal_chunk: int = 512) -> ClosingRegion:
+    """Closing-region crop tested against the FULL cloud, gather-free.
+
+    The reference (and `closing_region_crop`) first subsamples a wide
+    radius region (`group_num_more`, get_regiondataset.py:37) and crops
+    from it — on TPU that indirection costs a ~100MB thin-row gather that
+    dominates the refine stage.  Since the gripper box is strictly inside
+    the wide-region ball, testing every cloud point directly is equivalent
+    (minus the reference's density cap, which only changes the sampling
+    distribution when a 6.4cm ball holds >2048 points) and fuses into pure
+    VPU passes.  Chunked over proposals to bound the [NC, N] workspace.
+    """
+    B, N, _ = pc.shape
+    NC = grasp.shape[1]
+    frame, center = grasps_to_frames(grasp)
+    xyz = pc[..., :3].astype(jnp.float32)
+
+    chunk = min(proposal_chunk, NC)
+    pad = (-NC) % chunk
+    if pad:
+        frame = jnp.concatenate(
+            [frame, jnp.tile(jnp.eye(3)[None, None], (B, pad, 1, 1))],
+            axis=1)
+        center = jnp.concatenate(
+            [center, jnp.full((B, pad, 3), 1e10)], axis=1)
+    n_chunks = frame.shape[1] // chunk
+    f_chunks = jnp.moveaxis(
+        frame.reshape(B, n_chunks, chunk, 3, 3), 1, 0)
+    c_chunks = jnp.moveaxis(center.reshape(B, n_chunks, chunk, 3), 1, 0)
+    keys = jax.random.split(key, n_chunks)
+
+    def per_chunk(args):
+        fr, ce, k = args                     # [B,chunk,3,3], [B,chunk,3]
+        rel = xyz[:, None] - ce[:, :, None]  # [B,chunk,N,3]
+        local = jnp.einsum("bcij,bcni->bcnj", fr, rel,
+                           precision=lax.Precision.HIGHEST)
+        inside = ((local[..., 0] > 0)
+                  & (local[..., 0] < gripper.depth / 2)
+                  & (jnp.abs(local[..., 1]) < gripper.width / 2)
+                  & (jnp.abs(local[..., 2]) < gripper.height / 2))
+        noise = jax.random.uniform(k, inside.shape)
+        idx, any_valid, count = bucket_choice(inside, gripper_num,
+                                              score=noise)
+        idx = jnp.where(any_valid[..., None], idx, 0)
+        return idx, count
+
+    idx, count = lax.map(per_chunk, (f_chunks, c_chunks, keys))
+    idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, gripper_num)[:, :NC]
+    count = jnp.moveaxis(count, 0, 1).reshape(B, -1)[:, :NC]
+    return ClosingRegion(None, idx.astype(jnp.int32), count > min_points)

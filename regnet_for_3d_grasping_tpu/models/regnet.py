@@ -28,8 +28,8 @@ from regnet_for_3d_grasping_tpu.geometry.codec import (
     anchor_templates,
 )
 from regnet_for_3d_grasping_tpu.geometry.region import (
-    closing_region_crop,
-    group_regions_two_scales,
+    closing_region_crop_dense,
+    group_regions,
     select_score_centers,
 )
 from regnet_for_3d_grasping_tpu.models.heads import RefineHead, TwoStageHead
@@ -111,9 +111,12 @@ class REGNet(nn.Module):
         # --- GRN: candidate centers + two region scales ------------------
         centers, center_idx = select_score_centers(
             pc, score, region.center_num, region.score_thre)
-        groups, groups_more = group_regions_two_scales(
-            k_group, pc, centers, region.group_num, cfg.group_radius,
-            region.group_num_more, cfg.group_radius_more)
+        # indices only — the cascade consumes backbone features gathered by
+        # index, never the raw grouped points; the wide (group_num_more)
+        # scale is not needed at all since the closing-region crop tests
+        # the full cloud directly (closing_region_crop_dense)
+        groups = group_regions(k_group, pc, centers, region.group_num,
+                               cfg.group_radius, with_points=False)
 
         # per-point backbone features of each region (grn:389-395)
         region_feat = ops.group_points(feature, groups.index)
@@ -126,9 +129,9 @@ class REGNet(nn.Module):
         proposals_sg = jax.lax.stop_gradient(proposals)
         B, NC = proposals.shape[:2]
         if with_refine:
-            crop = closing_region_crop(
-                k_crop, groups_more.points, groups_more.index, proposals_sg,
-                cfg.gripper, region.gripper_num, region.min_region_points)
+            crop = closing_region_crop_dense(
+                k_crop, pc, proposals_sg, cfg.gripper,
+                region.gripper_num, region.min_region_points)
             gripper_feat = ops.group_points(feature, crop.index_in_all)
             refine_logits, refine_reg = self.refine_head(
                 gripper_feat, pooled, train=train)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from regnet_for_3d_grasping_tpu import geometry
 from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
@@ -163,10 +164,10 @@ class TestClosingRegion:
             [0.01, 0.05, 0.0],     # too wide
             [0.01, 0.0, 0.006],    # too thick
         ] + [[0.015, 0.001 * i, 0.0] for i in range(10)], np.float32)
-        group = np.concatenate([pts, np.zeros_like(pts)], axis=1)[None, None]
+        pc = np.concatenate([pts, np.zeros_like(pts)], axis=1)[None]
         gidx = np.arange(len(pts), dtype=np.int32)[None, None]
         out = geometry.closing_region_crop(
-            jax.random.PRNGKey(0), jnp.asarray(group), jnp.asarray(gidx),
+            jax.random.PRNGKey(0), jnp.asarray(pc), jnp.asarray(gidx),
             grasp, gripper, gripper_num=8, min_points=5)
         assert bool(out.valid[0, 0])      # 12 inside points > 5
         sel = set(np.asarray(out.index_in_all)[0, 0].tolist())
@@ -178,10 +179,10 @@ class TestClosingRegion:
         pts = np.array([[0.01, 0, 0], [0.02, 0, 0], [1, 1, 1], [2, 2, 2],
                         [3, 3, 3], [4, 4, 4], [5, 5, 5], [6, 6, 6]],
                        np.float32)
-        group = np.concatenate([pts, np.zeros_like(pts)], 1)[None, None]
+        pc = np.concatenate([pts, np.zeros_like(pts)], 1)[None]
         gidx = np.arange(8, dtype=np.int32)[None, None]
         out = geometry.closing_region_crop(
-            jax.random.PRNGKey(0), jnp.asarray(group), jnp.asarray(gidx),
+            jax.random.PRNGKey(0), jnp.asarray(pc), jnp.asarray(gidx),
             grasp, gripper, gripper_num=4, min_points=5)
         assert not bool(out.valid[0, 0])  # only 2 inside points
 
@@ -194,10 +195,10 @@ class TestClosingRegion:
         # approach becomes -z after rotating [1,0,0] about +y by... check:
         # R1 rotates x0=[1,0,0] to [cos, 0, sin] = [0,0,1]
         pts = np.array([[0.0, 0.0, 0.02]] * 8, np.float32)  # along +z
-        group = np.concatenate([pts, np.zeros_like(pts)], 1)[None, None]
+        pc = np.concatenate([pts, np.zeros_like(pts)], 1)[None]
         gidx = np.arange(8, dtype=np.int32)[None, None]
         out = geometry.closing_region_crop(
-            jax.random.PRNGKey(0), jnp.asarray(group), jnp.asarray(gidx),
+            jax.random.PRNGKey(0), jnp.asarray(pc), jnp.asarray(gidx),
             grasp, gripper, gripper_num=4, min_points=5)
         assert bool(out.valid[0, 0])
         # local x coordinate should be +0.02 (approach axis = world +z)
@@ -243,3 +244,42 @@ class TestGTMatching:
             jnp.asarray(centers), jnp.asarray(gt_frames),
             jnp.asarray(gt_scores), jnp.asarray(gt_valid))
         assert bool(matched[0, 0])
+
+
+class TestDenseCrop:
+    def test_matches_group_based_crop_semantics(self, rng):
+        """Dense (full-cloud) crop must select the same inside-point SET
+        as the group-based crop when the wide region covers everything."""
+        from regnet_for_3d_grasping_tpu.geometry import (
+            closing_region_crop_dense)
+        gripper = GripperConfig()
+        pc = (rng.rand(1, 64, 6) * 0.04).astype(np.float32)
+        grasp = jnp.asarray(
+            np.array([[[0.02, 0.02, 0.02, 0, 1, 0, 0.3, 0.5]]], np.float32))
+        gidx = np.arange(64, dtype=np.int32)[None, None]
+        a = geometry.closing_region_crop(
+            jax.random.PRNGKey(0), jnp.asarray(pc), jnp.asarray(gidx),
+            grasp, gripper, gripper_num=32, min_points=1)
+        b = closing_region_crop_dense(
+            jax.random.PRNGKey(0), jnp.asarray(pc), grasp, gripper,
+            gripper_num=32, min_points=1)
+        assert bool(a.valid[0, 0]) == bool(b.valid[0, 0])
+        if bool(a.valid[0, 0]):
+            sa = set(np.asarray(a.index_in_all)[0, 0].tolist())
+            sb = set(np.asarray(b.index_in_all)[0, 0].tolist())
+            assert sa == sb      # same inside-point membership
+
+    @pytest.mark.parametrize("chunk", [3, 512])
+    def test_chunking_consistent(self, rng, chunk):
+        from regnet_for_3d_grasping_tpu.geometry import (
+            closing_region_crop_dense)
+        gripper = GripperConfig()
+        pc = (rng.rand(1, 128, 6) * 0.05).astype(np.float32)
+        grasps = np.tile(
+            np.array([[0.02, 0.02, 0.02, 0, 1, 0, 0.0, 0.5]], np.float32),
+            (7, 1))[None]
+        out = closing_region_crop_dense(
+            jax.random.PRNGKey(0), jnp.asarray(pc), jnp.asarray(grasps),
+            gripper, gripper_num=16, min_points=1, proposal_chunk=chunk)
+        v = np.asarray(out.valid)[0]
+        assert (v == v[0]).all()     # identical proposals agree

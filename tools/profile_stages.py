@@ -88,9 +88,10 @@ def main():
           lambda f, i: ops.group_points(f, i), feature, groups.index)
     grasp = jnp.zeros((1, args.centers, 8)).at[..., 4].set(1.0)
     bench("closing-region crop",
-          lambda k, gp, gi, g: R.closing_region_crop(
-              k, gp, gi, g, cfg.gripper, cfg.region.gripper_num),
-          key, groups_more.points, groups_more.index, grasp)
+          lambda k, p, gi, g: R.closing_region_crop(
+              k, p, gi, g, cfg.gripper, cfg.region.gripper_num,
+              with_points=False),
+          key, pc, groups_more.index, grasp)
 
     model = REGNet(cfg, dtype=dtype)
     mv = jax.jit(lambda: model.init(
