@@ -24,9 +24,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fps_kernel(num_samples: int, xyz_ref, dist_init_ref, idx_ref,
-                dist_ref):
-    """xyz [3, N], dist_init [1, N] (1e10 valid / -1 invalid) -> idx [1, S].
+def _fps_kernel(num_samples: int, x_ref, y_ref, z_ref, dist_init_ref,
+                idx_ref, dist_ref):
+    """Coords + running distance laid out [N/128, 128] (full VPU tiles;
+    a [1, N] layout would waste 7/8 sublanes) -> idx [1, S] in SMEM.
 
     idx_ref lives in SMEM (scalar stores at dynamic offsets are legal
     there; Mosaic requires 128-aligned dynamic VMEM accesses).  The
@@ -34,8 +35,12 @@ def _fps_kernel(num_samples: int, xyz_ref, dist_init_ref, idx_ref,
     a dynamic VMEM load for the same reason.
     """
     dist_ref[:] = dist_init_ref[:]
-    n = xyz_ref.shape[1]
-    ids = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    rows, lanes = x_ref.shape
+    n = rows * lanes
+    # row-major linear index per element — matches jnp.argmax's flattened
+    # index order
+    ids = (lax.broadcasted_iota(jnp.int32, (rows, lanes), 0) * lanes
+           + lax.broadcasted_iota(jnp.int32, (rows, lanes), 1))
 
     def argmax_first(v):
         # Mosaic's argmax tie-break is lane-order dependent; FPS parity
@@ -43,19 +48,26 @@ def _fps_kernel(num_samples: int, xyz_ref, dist_init_ref, idx_ref,
         m = jnp.max(v)
         return jnp.min(jnp.where(v == m, ids, n)).astype(jnp.int32)
 
-    # first centroid = first valid point
+    # First centroid = first valid point.  This step is ALL ties (every
+    # valid sentinel equals 1e10) so it needs the deterministic reduction;
+    # inside the loop distances are continuous and tie-free, so the
+    # cheaper native argmax suffices (tie-breaks there only shuffle
+    # duplicate picks in the exhausted-mask edge case).
     start = argmax_first(dist_init_ref[:])
 
     def body(i, farthest):
         idx_ref[0, i] = farthest
         sel = (ids == farthest)
-        c = jnp.sum(jnp.where(sel, xyz_ref[:], 0.0), axis=1,
-                    keepdims=True)                    # [3, 1]
-        d = jnp.sum(jnp.square(xyz_ref[:] - c), axis=0, keepdims=True)
+        zero = jnp.float32(0.0)
+        cx = jnp.sum(jnp.where(sel, x_ref[:], zero))
+        cy = jnp.sum(jnp.where(sel, y_ref[:], zero))
+        cz = jnp.sum(jnp.where(sel, z_ref[:], zero))
+        d = (jnp.square(x_ref[:] - cx) + jnp.square(y_ref[:] - cy)
+             + jnp.square(z_ref[:] - cz))
         dist = dist_ref[:]
         dist = jnp.where(dist < 0, dist, jnp.minimum(dist, d))
         dist_ref[:] = dist
-        return argmax_first(dist)
+        return jnp.argmax(dist).astype(jnp.int32)
 
     lax.fori_loop(0, num_samples, body, start)
 
@@ -76,26 +88,26 @@ def fps_pallas(xyz: jax.Array, dist_init: jax.Array,
       [B, S] int32 indices.
     """
     B, N, _ = xyz.shape
-    pad = (-N) % 128
-    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)      # [B, 3, N]
+    pad = (-N) % (128 * 8)      # full (8, 128) f32 tiles
+    xyz = xyz.astype(jnp.float32)
     if pad:
-        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, pad)))
+        xyz = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))
         dist_init = jnp.pad(dist_init, ((0, 0), (0, pad)),
                             constant_values=-1.0)
     Np = N + pad
+    rows = Np // 128
+    coords = [xyz[..., c].reshape(B, rows, 128) for c in range(3)]
+    dist2d = dist_init.reshape(B, rows, 128)
 
+    coord_spec = pl.BlockSpec((None, rows, 128), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fps_kernel, num_samples),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, 3, Np), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, Np), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[coord_spec] * 4,
         out_specs=pl.BlockSpec((None, 1, num_samples), lambda b: (b, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, Np), jnp.float32)],
-    )(xyz_t, dist_init[:, None, :])
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)],
+    )(*coords, dist2d)
     return out[:, 0, :]
