@@ -139,6 +139,26 @@ def evaluate_scene_grasps(data: dict, grasps: np.ndarray, view_num: int,
                       float(len(grasps)))
 
 
+def evaluate_at_thresholds(data: dict, grasps: np.ndarray,
+                           thresholds, view_num: int, table_height: float,
+                           depth, width: float,
+                           gripper: Optional[GripperConfig] = None,
+                           cfg: Optional[EvalConfig] = None) -> dict:
+    """VGR/score sweep over prediction-score thresholds.
+
+    The reference sketches this as a disabled branch
+    (utils.py:325-352, score_thres).  Returns
+    {threshold: EvalRecord}.
+    """
+    out = {}
+    grasps = np.asarray(grasps)
+    for t in thresholds:
+        sel = grasps[grasps[:, 7] > t] if len(grasps) else grasps
+        out[t] = evaluate_scene_grasps(
+            data, sel, view_num, table_height, depth, width, gripper, cfg)
+    return out
+
+
 def view_num_from_path(path: str) -> int:
     """Parse the camera view index from a data filename
     (utils.py:288-291: ``{scene}_view_{v}[_noise].p``)."""

@@ -189,3 +189,21 @@ class TestEvaluatorFacade:
     def test_view_num_parsing(self):
         assert view_num_from_path("/x/4080_view_1.p") == 1
         assert view_num_from_path("/x/4080_view_2_noise.p") == 2
+
+
+class TestThresholdSweep:
+    def test_sweep_monotone_counts(self):
+        from regnet_for_3d_grasping_tpu.eval.evaluator import (
+            evaluate_at_thresholds)
+        scene = make_synthetic_scene(2, num_view=8000)
+        frames = scene["select_frame"]
+        scores = scene["select_antipodal_score"]
+        grasps = np.asarray(frames_to_grasps(
+            jnp.asarray(frames[:, :3, :3]), jnp.asarray(frames[:, :3, 3]),
+            jnp.asarray(scores[:, None])))
+        recs = evaluate_at_thresholds(
+            scene, grasps, [0.0, 0.6, 0.9], 0, TABLE, DEPTH,
+            GRIPPER.width, GRIPPER, ECFG)
+        # higher threshold -> fewer formal grasps, never more
+        assert recs[0.0].formal >= recs[0.6].formal >= recs[0.9].formal
+        assert recs[0.0].formal == len(grasps)

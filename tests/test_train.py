@@ -200,3 +200,20 @@ class TestDataset:
         ds = GraspDataset(data_dir, "train", num_points=99999)
         item = ds.get(0, np.random.RandomState(0))
         assert item[0].shape == (99999, 6)  # replacement resample
+
+
+class TestOldLabelSchema:
+    def test_frame_schema_pad(self, tmp_path):
+        """The reference's old label schema ('frame'/'antipodal_score',
+        get_regiondataset.py:67-79) must load too."""
+        import pickle
+        from regnet_for_3d_grasping_tpu.data.dataset import pad_gt_grasps
+        frames = np.tile(np.eye(3, 4, dtype=np.float32), (5, 1, 1))
+        data = {"frame": frames,
+                "antipodal_score": np.linspace(0, 1, 5, dtype=np.float32)}
+        fr, sc, valid = pad_gt_grasps(data, max_grasps=8)
+        assert fr.shape == (8, 3, 4)
+        assert valid.sum() == 5
+        # all three score channels fall back to the antipodal score
+        np.testing.assert_allclose(sc[:5, 0], sc[:5, 1])
+        np.testing.assert_allclose(sc[:5, 1], sc[:5, 2])
