@@ -207,3 +207,37 @@ class TestThresholdSweep:
         # higher threshold -> fewer formal grasps, never more
         assert recs[0.0].formal >= recs[0.6].formal >= recs[0.9].formal
         assert recs[0.0].formal == len(grasps)
+
+
+class TestDepthVariants:
+    def test_per_grasp_depth_array(self):
+        """Ops accept per-grasp finger depths (reference map_param_dict
+        path, utils.py:261-268)."""
+        # stick reaches x in (0.005, 0.025); with depth 0.03 the close
+        # plane needs >=16 pts -> ok; with depth 0.001 the close plane is
+        # nearly empty -> reject
+        pts = _world_points(_stick())
+        grasps = np.concatenate([_grasp(), _grasp()])
+        depths = np.array([0.06, 0.001], np.float32)
+        ok = np.asarray(check_grasps_view(
+            jnp.asarray(pts), jnp.asarray(grasps), TABLE, depths, GRIPPER,
+            ECFG, require_close_region=True, table_sign=-1.0))
+        np.testing.assert_array_equal(ok, [True, False])
+
+    def test_table_sign_convention(self):
+        """EvalDataTest rejects below table+0.005, EvalDataValidate below
+        table-0.005 (evaluation_data_generator.py:186 vs :428)."""
+        # identity grasp: tip_z = center_z + frame[2,0]*depth = center_z
+        center = np.array([0., 0., TABLE + 0.003])
+        pts = _world_points(_stick(), center)
+        g = jnp.asarray(_grasp(center))
+        ok_test = check_grasps_view(jnp.asarray(pts), g, TABLE, DEPTH,
+                                    GRIPPER, ECFG,
+                                    require_close_region=False,
+                                    table_sign=+1.0)
+        ok_val = check_grasps_view(jnp.asarray(pts), g, TABLE, DEPTH,
+                                   GRIPPER, ECFG,
+                                   require_close_region=False,
+                                   table_sign=-1.0)
+        assert not bool(ok_test[0])   # 0.003 < +0.005 -> reject
+        assert bool(ok_val[0])        # 0.003 > -0.005 -> accept
