@@ -40,6 +40,17 @@ def three_nn(query: jax.Array, key: jax.Array, k: int = 3,
     query = query.astype(jnp.float32)
     key = key.astype(jnp.float32)
 
+    # big k=3 problems route to the VMEM-resident Pallas kernel on TPU
+    if k == 3 and N1 * N2 >= (1 << 24):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from regnet_for_3d_grasping_tpu.ops.knn_pallas import (
+                three_nn_pallas)
+            return three_nn_pallas(query, key)
+
     def solve(q):
         d2 = bpdist2(q, key)                     # [B, n, N2]
         if k <= 4:

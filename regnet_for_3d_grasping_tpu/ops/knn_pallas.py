@@ -1,0 +1,126 @@
+"""Pallas TPU kernel for 3-nearest-neighbour search.
+
+The XLA three_nn (ops/knn.py) materializes the [N1, N2] distance matrix in
+HBM and re-reads it for each of the k argmin extractions (~2GB of traffic
+at the FP3 shapes).  This kernel keeps everything in VMEM: the grid walks
+(query tiles x key chunks) with the key chunk innermost, maintaining each
+query row's running top-3 (distance, index) in scratch and merging the
+chunk's top-3 candidates each step.  Distances are squared, matching the
+CUDA kernel (interpolate_kernel.cu) and ops/knn.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 128     # query rows per tile
+_L = 512      # key columns per chunk
+_INF = 3e38   # plain float — a jnp scalar would be a captured constant
+
+
+def _extract_top3(d2, col_base):
+    """d2 [TM, L] -> (dists [TM, 3], ids [TM, 3]) of the 3 smallest."""
+    TM, L = d2.shape
+    cols = lax.broadcasted_iota(jnp.int32, (TM, L), 1)
+    outs_d, outs_i = [], []
+    for _ in range(3):
+        m = jnp.min(d2, axis=1)
+        am = jnp.min(jnp.where(d2 == m[:, None], cols, L), axis=1)
+        outs_d.append(m)
+        outs_i.append(col_base + am)
+        d2 = jnp.where(cols == am[:, None], _INF, d2)
+    return (jnp.stack(outs_d, axis=1), jnp.stack(outs_i, axis=1))
+
+
+def _knn_kernel(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
+                best_d, best_i):
+    """q [3, TM], k [3, L] blocks; scratches best_d/best_i [TM, 4]."""
+    s = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        best_d[:] = jnp.full(best_d.shape, _INF, jnp.float32)
+        best_i[:] = jnp.zeros(best_i.shape, jnp.int32)
+
+    d2 = None
+    for c in range(3):
+        diff = q_ref[c, :][:, None] - k_ref[c, :][None, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    # mask out key-axis padding (global id >= n_valid_keys)
+    col_base = s * _L
+    cols = col_base + lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2 = jnp.where(cols < n_valid_keys, d2, _INF)
+
+    cd, ci = _extract_top3(d2, col_base)              # [TM, 3]
+    # merge with the running top-3: 6 candidates per row -> new top-3
+    alld = jnp.concatenate([best_d[:, :3], cd], axis=1)   # [TM, 6]
+    alli = jnp.concatenate([best_i[:, :3], ci], axis=1)
+    slot = lax.broadcasted_iota(jnp.int32, alld.shape, 1)
+    nd, ni = [], []
+    for _ in range(3):
+        m = jnp.min(alld, axis=1)
+        am = jnp.min(jnp.where(alld == m[:, None], slot, 6), axis=1)
+        nd.append(m)
+        ni.append(jnp.sum(jnp.where(slot == am[:, None], alli, 0), axis=1))
+        alld = jnp.where(slot == am[:, None], _INF, alld)
+    best_d[:, :3] = jnp.stack(nd, axis=1)
+    best_i[:, :3] = jnp.stack(ni, axis=1).astype(jnp.int32)
+
+    @pl.when(s == n_s - 1)
+    def _():
+        d_out[:, :3] = best_d[:, :3]
+        d_out[:, 3] = jnp.zeros((d_out.shape[0],), jnp.float32)
+        i_out[:, :3] = best_i[:, :3]
+        i_out[:, 3] = jnp.zeros((i_out.shape[0],), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def three_nn_pallas(query: jax.Array, key: jax.Array
+                    ) -> tuple[jax.Array, jax.Array]:
+    """query [B, N1, 3], key [B, N2, 3] -> (idx [B, N1, 3], d2 [B, N1, 3]).
+
+    Results match ops/knn.three_nn (ascending squared distances; ties
+    resolved to the smallest key index).
+    """
+    B, N1, _ = query.shape
+    N2 = key.shape[1]
+    qpad = (-N1) % _TM
+    kpad = (-N2) % _L
+    q = jnp.swapaxes(query.astype(jnp.float32), 1, 2)   # [B, 3, N1]
+    k = jnp.swapaxes(key.astype(jnp.float32), 1, 2)
+    if qpad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, qpad)))
+    if kpad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, kpad)), constant_values=1e10)
+    N1p, N2p = N1 + qpad, N2 + kpad
+
+    d_out, i_out = pl.pallas_call(
+        functools.partial(_knn_kernel, N2),
+        grid=(B, N1p // _TM, N2p // _L),
+        in_specs=[
+            pl.BlockSpec((None, 3, _TM), lambda b, qt, s: (b, 0, qt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, _L), lambda b, qt, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, _TM, 4), lambda b, qt, s: (b, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _TM, 4), lambda b, qt, s: (b, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N1p, 4), jnp.float32),
+            jax.ShapeDtypeStruct((B, N1p, 4), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_TM, 4), jnp.float32),
+                        pltpu.VMEM((_TM, 4), jnp.int32)],
+    )(q, k)
+    return i_out[:, :N1, :3], d_out[:, :N1, :3]

@@ -16,7 +16,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# REGNET_TEST_TPU=1 runs the suite against the attached accelerator
+# instead of the virtual CPU mesh (used for tests/test_pallas_kernels.py).
+if os.environ.get("REGNET_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
