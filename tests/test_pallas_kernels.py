@@ -83,3 +83,24 @@ class TestThreeNNPallas:
         ri, rd = map(np.asarray, three_nn(q, k))
         np.testing.assert_array_equal(np.sort(pi, -1), np.sort(ri, -1))
         np.testing.assert_allclose(pd, rd, atol=1e-6)
+
+
+class TestBallQueryPallas:
+    def test_semantics(self, clouds):
+        from regnet_for_3d_grasping_tpu.ops.ball_query import ball_query
+        from regnet_for_3d_grasping_tpu.ops.ball_query_pallas import (
+            ball_query_pallas)
+        xyz, _ = clouds
+        xyz = xyz * 0.5
+        centers = xyz[:, :512]
+        pi, pc = map(np.asarray, ball_query_pallas(xyz, centers, 0.02, 64))
+        ri, rc = map(np.asarray, ball_query(xyz, centers, 0.02, 64))
+        # counts may differ by f32 boundary rounding (kernel is exact,
+        # bpdist2 uses the expansion form) — allow +-2
+        assert (np.abs(pc.astype(int) - rc.astype(int)) <= 2).all()
+        # every selected point is in-radius where hits exist
+        x0, c0 = np.asarray(xyz[0]), np.asarray(centers[0])
+        for m in range(0, 512, 37):
+            if pc[0, m] > 0:
+                d = np.linalg.norm(x0[pi[0, m]] - c0[m], axis=-1)
+                assert (d < 0.02 + 1e-6).all()
