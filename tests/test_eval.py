@@ -241,3 +241,29 @@ class TestDepthVariants:
                                    table_sign=-1.0)
         assert not bool(ok_test[0])   # 0.003 < +0.005 -> reject
         assert bool(ok_val[0])        # 0.003 > -0.005 -> accept
+
+
+class TestPointcloudOps:
+    def test_radius_outlier_mask(self, rng):
+        from regnet_for_3d_grasping_tpu.eval.pointcloud_ops import (
+            radius_outlier_mask)
+        cluster = rng.rand(50, 3).astype(np.float32) * 0.01
+        lone = np.array([[5.0, 5.0, 5.0]], np.float32)
+        pts = np.vstack([cluster, lone])
+        m = np.asarray(radius_outlier_mask(jnp.asarray(pts), 10, 0.05))
+        assert m[:50].all()
+        assert not m[50]
+
+    def test_voxel_downsample_mask(self, rng):
+        from regnet_for_3d_grasping_tpu.eval.pointcloud_ops import (
+            voxel_downsample_mask)
+        # 100 points in the same voxel + 5 spread out
+        dense = rng.rand(100, 3).astype(np.float32) * 0.001
+        spread = (np.arange(5)[:, None] * np.ones(3) * 0.1).astype(
+            np.float32) + 0.05
+        pts = np.vstack([dense, spread])
+        m = np.asarray(voxel_downsample_mask(jnp.asarray(pts), 0.005))
+        assert m[:100].sum() <= 2        # dense blob collapses
+        assert m[100:].all()             # spread points all kept
+        # representative is the lowest index in its voxel
+        assert m[0]
