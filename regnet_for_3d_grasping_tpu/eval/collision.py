@@ -82,7 +82,7 @@ def check_grasps_view(points: jax.Array, grasps: jax.Array,
     depth = jnp.broadcast_to(jnp.asarray(depth, jnp.float32), (G,))
 
     tip_z = centers[:, 2] + frames[:, 2, 0] * depth
-    above_table = tip_z >= table_height + table_sign * 0.005
+    above_table = tip_z >= table_height + table_sign * cfg.table_offset
 
     pad = (-G) % chunk
     if pad:

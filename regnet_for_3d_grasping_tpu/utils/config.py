@@ -108,8 +108,12 @@ class EvalConfig:
     neighbor_depth: float = 0.005
     normal_radius: float = 0.01
     normal_max_nn: int = 30
+    # fingertip-below-table tolerance; the reference flips its sign between
+    # the test and validate paths (evaluation_data_generator.py:186 vs :428)
     table_offset: float = 0.005
-    max_grasps: int = 512        # static pad for grasps under evaluation
+    # soft guidance for exporters/evaluator batching (ops are chunk-padded
+    # internally, so this is not a hard limit)
+    max_grasps: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
