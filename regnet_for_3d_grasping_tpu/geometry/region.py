@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from regnet_for_3d_grasping_tpu import ops
-from regnet_for_3d_grasping_tpu.ops.sampling import bucket_choice
+from regnet_for_3d_grasping_tpu.ops.sampling import (
+    bucket_choice,
+    hash_uniform,
+)
 from regnet_for_3d_grasping_tpu.geometry.codec import grasps_to_frames
 from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
 
@@ -90,7 +93,7 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
         # stratified one-pass pick with random tiebreak — the fast
         # equivalent of np.random.choice over the in-radius set
         # (ops/sampling.bucket_choice; cloud index order is random)
-        noise = jax.random.uniform(k, mask.shape)
+        noise = hash_uniform(k, mask.shape)
         idx, any_valid, _ = bucket_choice(mask, group_num, score=noise)
         idx = jnp.where(any_valid[..., None], idx, 0)
         return idx, any_valid
@@ -139,7 +142,7 @@ def group_regions_two_scales(
         for r2, g, kk in ((r2a, group_num, k[0]), (r2b, group_num_more,
                                                    k[1])):
             mask = d2 <= r2
-            noise = jax.random.uniform(kk, mask.shape)
+            noise = hash_uniform(kk, mask.shape)
             idx, any_valid, _ = bucket_choice(mask, g, score=noise)
             out.append((jnp.where(any_valid[..., None], idx, 0),
                         any_valid))
@@ -200,7 +203,7 @@ def closing_region_crop(key: jax.Array, pc: jax.Array,
               & (jnp.abs(local[..., 1]) < gripper.width / 2)
               & (jnp.abs(local[..., 2]) < gripper.height / 2))
 
-    noise = jax.random.uniform(key, inside.shape)
+    noise = hash_uniform(key, inside.shape)
     idx, any_valid, count = bucket_choice(inside, gripper_num, score=noise)
     idx = jnp.where(any_valid[..., None], idx, 0)
     valid = count > min_points
@@ -257,7 +260,7 @@ def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
                   & (local[..., 0] < gripper.depth / 2)
                   & (jnp.abs(local[..., 1]) < gripper.width / 2)
                   & (jnp.abs(local[..., 2]) < gripper.height / 2))
-        noise = jax.random.uniform(k, inside.shape)
+        noise = hash_uniform(k, inside.shape)
         idx, any_valid, count = bucket_choice(inside, gripper_num,
                                               score=noise)
         idx = jnp.where(any_valid[..., None], idx, 0)

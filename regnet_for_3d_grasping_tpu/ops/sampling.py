@@ -11,9 +11,32 @@ without replacement; rows with fewer valid entries than k wrap around their
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def hash_uniform(key: jax.Array, shape: tuple) -> jax.Array:
+    """Cheap counter-hash uniforms in [0, 1) for selection tie-breaks.
+
+    Threefry uniforms cost ~3.5ms for a [4000, 25600] draw on v5e; bucket
+    tie-breaking only needs decorrelated scores, so a lowbias32-style
+    integer mix of (seed + linear index) suffices at ~1/4 the cost.
+    NOT a substitute for jax.random where statistical quality matters.
+    """
+    data = jax.random.key_data(key).astype(jnp.uint32)
+    seed = data.reshape(-1)[-1]
+    n = math.prod(shape)
+    idx = lax.broadcasted_iota(jnp.uint32, (n, 1), 0).reshape(shape)
+    x = idx * jnp.uint32(2654435761) + seed * jnp.uint32(0x9E3779B9)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x45D9F3B)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x45D9F3B)
+    x = x ^ (x >> 16)
+    return x.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
 
 
 def masked_random_choice(key: jax.Array, mask: jax.Array,

@@ -312,3 +312,19 @@ class TestBucketChoice:
         for r in range(2):
             if np.asarray(ok)[r]:
                 assert mask[r][idx[r]].all()
+
+
+class TestHashUniform:
+    def test_range_and_spread(self):
+        from regnet_for_3d_grasping_tpu.ops.sampling import hash_uniform
+        u = np.asarray(hash_uniform(jax.random.PRNGKey(0), (100, 257)))
+        assert (u >= 0).all() and (u < 1).all()
+        # roughly uniform: mean ~0.5, no more than 2% exact collisions
+        assert abs(u.mean() - 0.5) < 0.02
+        assert len(np.unique(u)) > u.size * 0.98
+
+    def test_key_changes_stream(self):
+        from regnet_for_3d_grasping_tpu.ops.sampling import hash_uniform
+        a = np.asarray(hash_uniform(jax.random.PRNGKey(1), (64,)))
+        b = np.asarray(hash_uniform(jax.random.PRNGKey(2), (64,)))
+        assert not np.allclose(a, b)
