@@ -31,6 +31,10 @@ def build_parser():
     p.add_argument("--log-path", type=str, default="./assets/log")
     p.add_argument("--lr-score", type=float, default=1e-3)
     p.add_argument("--lr-region", type=float, default=1e-3)
+    p.add_argument("--lr-step-epochs", type=int, default=5,
+                   help="StepLR period (reference: 5; it decays the LR to "
+                        "~1e-6 by epoch 50 — raise for longer runs)")
+    p.add_argument("--lr-gamma", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint under "
@@ -93,6 +97,8 @@ def main(argv=None):
             "train.batch_size": args.batch_size,
             "train.lr_score": args.lr_score,
             "train.lr_region": args.lr_region,
+            "train.lr_step_epochs": args.lr_step_epochs,
+            "train.lr_gamma": args.lr_gamma,
         })
         args.num_points = cfg.region.num_points
     else:
@@ -101,6 +107,8 @@ def main(argv=None):
             "train.batch_size": args.batch_size,
             "train.lr_score": args.lr_score,
             "train.lr_region": args.lr_region,
+            "train.lr_step_epochs": args.lr_step_epochs,
+            "train.lr_gamma": args.lr_gamma,
         })
     if args.remat:
         import dataclasses
