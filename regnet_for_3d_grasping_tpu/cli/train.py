@@ -36,6 +36,15 @@ def build_parser():
                         "~1e-6 by epoch 50 — raise for longer runs)")
     p.add_argument("--lr-gamma", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--center-jitter", type=str, default="",
+                   help="comma list of center_num values cycled across "
+                        "train steps (e.g. '64,256,1024') — exposes the "
+                        "refine classifier to inference-scale proposal "
+                        "distributions; one compiled step per value")
+    p.add_argument("--eval-center-num", type=int, default=0,
+                   help="run validation-epoch forwards at this center_num "
+                        "(e.g. 4000 = the inference preset) instead of the "
+                        "training value, to measure calibration drift")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint under "
                         "model-path/tag")
@@ -45,6 +54,10 @@ def build_parser():
     p.add_argument("--eval-grasps", action="store_true",
                    help="run the geometric VGR evaluator during "
                         "validation epochs (slower)")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="run the grasp evaluator only every K validation "
+                        "epochs (the loss-metric validation still runs "
+                        "every epoch)")
     p.add_argument("--num-points", type=int, default=25600)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model/shapes (smoke tests)")
@@ -156,11 +169,33 @@ def main(argv=None):
         state = trainer.TrainState(**restored)
         print(f"resumed from epoch {resume_epoch - 1}")
 
-    train_step = trainer.make_train_step(model, optimizer, cfg, stage,
-                                         mesh)
-    eval_step = trainer.make_eval_step(model, cfg, stage)
+    import dataclasses as _dc
 
-    def run_eval_epoch(epoch, mode_name, ds):
+    def _with_center_num(base_cfg, nc):
+        return _dc.replace(
+            base_cfg, region=_dc.replace(base_cfg.region, center_num=nc))
+
+    if args.center_jitter:
+        jitter = [int(v) for v in args.center_jitter.split(",") if v]
+        cfgs = [_with_center_num(cfg, v) for v in jitter]
+        train_steps = [
+            trainer.make_train_step(REGNet(c), optimizer, c, stage, mesh)
+            for c in cfgs]
+        print(f"center_num jitter over {jitter}")
+    else:
+        train_steps = [trainer.make_train_step(model, optimizer, cfg,
+                                               stage, mesh)]
+
+    if args.eval_center_num:
+        eval_cfg = _with_center_num(cfg, args.eval_center_num)
+        eval_step = trainer.make_eval_step(REGNet(eval_cfg), eval_cfg,
+                                           stage)
+        print(f"validation forwards at center_num={args.eval_center_num}")
+    else:
+        eval_cfg = cfg
+        eval_step = trainer.make_eval_step(model, cfg, stage)
+
+    def run_eval_epoch(epoch, mode_name, ds, with_grasps=True):
         records = {"stage2": EvalRecord(), "stage3_class": EvalRecord(),
                    "stage3_score": EvalRecord()}
         n = 0
@@ -171,7 +206,7 @@ def main(argv=None):
             out, metrics = eval_step(state, dbatch, key)
             logger.scalars(metrics, n + epoch * len(ds), mode_name,
                            "batch")
-            if args.eval_grasps and stage != "score":
+            if args.eval_grasps and with_grasps and stage != "score":
                 sets = extract_grasp_sets(out)[0]
                 data = load_scene(batch.paths[0])
                 try:
@@ -243,7 +278,9 @@ def main(argv=None):
             if mesh is not None:
                 dbatch = shard_batch(dbatch, mesh)
             key = jax.random.PRNGKey(epoch * 131071 + nb)
-            state, metrics = train_step(state, dbatch, key)
+            step_fn = train_steps[(epoch * steps_per_epoch + nb)
+                                  % len(train_steps)]
+            state, metrics = step_fn(state, dbatch, key)
             logger.scalars(metrics, nb + epoch * steps_per_epoch,
                            "train", "batch")
             total += float(metrics["loss_total"])
@@ -258,7 +295,9 @@ def main(argv=None):
         print(f"epoch {epoch}: mean loss {total / max(nb, 1):.4f} "
               f"({time.time() - t0:.1f}s)")
         ckpt.save_checkpoint(ckpt_dir, epoch, state._asdict())
-        run_eval_epoch(epoch, "validate", val_ds)
+        run_eval_epoch(epoch, "validate", val_ds,
+                       with_grasps=(epoch % max(args.eval_every, 1) == 0
+                                    or epoch == args.epoch - 1))
 
 
 if __name__ == "__main__":

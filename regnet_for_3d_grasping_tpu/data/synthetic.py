@@ -4,9 +4,30 @@ The reference trains on a private pickle dataset (scoredataset.py:60-81 keys:
 view_cloud / view_cloud_color / view_cloud_score / view_cloud_label +
 select_frame / select_*_score label arrays + scene_cloud for the evaluator).
 That data is not shipped, so this module generates physically-plausible
-scenes in exactly that schema: spheres and boxes on a table, per-point
-graspability scores, and top-down GT grasp frames — enough to exercise
-training, evaluation and benchmarking end-to-end.
+scenes in exactly that schema.
+
+Scene model (round 2 — clutter/occlusion upgrade):
+
+  * objects: spheres, boxes and vertical cylinders, placed in 1-2 clusters
+    with near-contact gaps (clutter), on a table plane;
+  * the VIEW cloud is visibility-filtered from one of the evaluator's four
+    CAMERA_POSEs (evaluation_data_generator.py:34-39) with an angular
+    z-buffer, so self- and inter-object occlusion make the view cloud a
+    strict subset of the scene — predictions can pass the view collision
+    check yet hit hidden scene geometry (nocoll_view != nocoll_scene);
+  * the SCENE cloud stays dense and unoccluded, with exact analytic
+    surface normals;
+  * GT grasps: top-down pinches on every object plus horizontal side
+    grasps on boxes/cylinders.  Every candidate is validated at generation
+    time with a numpy re-statement of the geometric evaluator's rules
+    (same GripperConfig/EvalConfig constants) — back/finger collision
+    against the full scene, >=16 close-plane and closing-region points,
+    visible closing region in the view cloud — and labelled with its
+    measured antipodal score, so the labels are consistent with what
+    eval/collision.py will report;
+  * per-point graspability score: distance falloff to the nearest valid
+    GT grasp's closing-region centroid (raw score in [0, 2], the dataset
+    tanh-squashes it like scoredataset.py:80).
 """
 
 from __future__ import annotations
@@ -16,8 +37,21 @@ import pickle
 
 import numpy as np
 
+from regnet_for_3d_grasping_tpu.utils.config import EvalConfig, GripperConfig
+
 TABLE_HEIGHT = 0.75
 
+# evaluator camera positions per view index (eval/evaluator.py:30-36)
+_CAMERA_POSE = np.array([
+    [0.8, 0.0, 1.7],
+    [-0.8, 0.0, 1.6],
+    [0.0, 0.75, 1.7],
+    [0.0, -0.75, 1.6],
+], np.float32)
+
+
+# --------------------------------------------------------------------------
+# surface samplers (points + exact outward normals)
 
 def _sample_sphere(rng, center, radius, n):
     v = rng.randn(n, 3)
@@ -36,87 +70,337 @@ def _sample_box(rng, center, size, n):
     return center + pts, normals
 
 
+def _sample_cylinder(rng, center, radius, height, n):
+    """Vertical cylinder: curved side + flat top cap."""
+    n_top = max(n // 6, 1)
+    n_side = n - n_top
+    phi = rng.uniform(0, 2 * np.pi, n_side)
+    z = rng.uniform(-height / 2, height / 2, n_side)
+    side = np.c_[radius * np.cos(phi), radius * np.sin(phi), z]
+    side_n = np.c_[np.cos(phi), np.sin(phi), np.zeros(n_side)]
+    rr = radius * np.sqrt(rng.uniform(0, 1, n_top))
+    tphi = rng.uniform(0, 2 * np.pi, n_top)
+    top = np.c_[rr * np.cos(tphi), rr * np.sin(tphi),
+                np.full(n_top, height / 2)]
+    top_n = np.tile([0.0, 0.0, 1.0], (n_top, 1))
+    return (center + np.concatenate([side, top]),
+            np.concatenate([side_n, top_n]))
+
+
+# --------------------------------------------------------------------------
+# object placement (clusters with near-contact gaps)
+
+def _place_objects(rng, num_objects):
+    """Sample object descriptors; clustered placement allows contact."""
+    objs = []
+    n_clusters = 1 if num_objects <= 3 else rng.randint(1, 3)
+    anchors = rng.uniform(-0.18, 0.18, (n_clusters, 2))
+    placed = []   # (xy, bound_radius)
+    for i in range(num_objects):
+        kind = rng.choice(["sphere", "box", "cylinder"])
+        if kind == "sphere":
+            r = rng.uniform(0.02, 0.035)
+            bound, cz, desc = r, TABLE_HEIGHT + r, {"radius": r}
+        elif kind == "box":
+            size = rng.uniform(0.03, 0.06, 3)
+            bound = float(np.linalg.norm(size[:2]) / 2)
+            cz = TABLE_HEIGHT + size[2] / 2
+            desc = {"size": size}
+        else:
+            r = rng.uniform(0.015, 0.03)
+            h = rng.uniform(0.05, 0.12)
+            bound, cz = r, TABLE_HEIGHT + h / 2
+            desc = {"radius": r, "height": h}
+
+        anchor = anchors[i % n_clusters]
+        for _ in range(40):
+            if not placed:
+                xy = anchor + rng.uniform(-0.04, 0.04, 2)
+            else:
+                # lean toward an already-placed neighbour: gap in [0, 3cm]
+                nb_xy, nb_bound = placed[rng.randint(len(placed))]
+                ang = rng.uniform(0, 2 * np.pi)
+                dist = nb_bound + bound + rng.uniform(0.0, 0.03)
+                xy = nb_xy + dist * np.array([np.cos(ang), np.sin(ang)])
+            ok = all(np.linalg.norm(xy - p) >= b + bound - 0.005
+                     for p, b in placed)
+            if ok and np.all(np.abs(xy) < 0.3):
+                break
+        placed.append((xy, bound))
+        desc.update(kind=kind, center=np.array([xy[0], xy[1], cz]))
+        objs.append(desc)
+    return objs
+
+
+def _object_points(rng, obj, n):
+    if obj["kind"] == "sphere":
+        pts, nrm = _sample_sphere(rng, obj["center"], obj["radius"], n)
+    elif obj["kind"] == "box":
+        pts, nrm = _sample_box(rng, obj["center"], obj["size"], n)
+    else:
+        pts, nrm = _sample_cylinder(rng, obj["center"], obj["radius"],
+                                    obj["height"], n)
+    keep = pts[:, 2] >= TABLE_HEIGHT - 1e-4
+    return pts[keep], nrm[keep]
+
+
+# --------------------------------------------------------------------------
+# candidate GT grasps
+
+def _canon_y(y):
+    """Reference y-flip canonicalization (get_regiondataset.py:160-169)."""
+    y = np.asarray(y, np.float64)
+    if y[0] < 0 or (y[0] == 0 and y[1] < 0):
+        y = -y
+    return y
+
+
+def _frame(approach, y, base):
+    z = np.cross(approach, y)
+    return np.c_[approach, y, z, base].astype(np.float32)
+
+
+def _candidate_grasps(rng, objs, gripper: GripperConfig):
+    """Analytic grasp proposals; validated geometrically afterwards."""
+    depth = gripper.depth
+    open_w = gripper.width - 0.005     # keep clear of the finger sweep
+    down = np.array([0.0, 0.0, -1.0])
+    cands = []
+
+    def top_down(top_z, cxy, grab, thetas):
+        base = np.array([cxy[0], cxy[1], top_z + depth - grab])
+        for t in thetas:
+            y = _canon_y([np.cos(t), np.sin(t), 0.0])
+            cands.append(_frame(down, y, base))
+
+    for obj in objs:
+        c = obj["center"]
+        if obj["kind"] == "sphere":
+            r = obj["radius"]
+            if 2 * r < open_w:
+                top_down(c[2] + r, c, min(1.6 * r, 0.045),
+                         np.linspace(-np.pi / 2, np.pi / 2, 5))
+        elif obj["kind"] == "box":
+            size = obj["size"]
+            top = c[2] + size[2] / 2
+            grab = min(size[2] * 0.8, 0.045)
+            for ax in (0, 1):
+                if size[ax] < open_w:
+                    y = np.zeros(3)
+                    y[ax] = 1.0
+                    jitter = rng.uniform(-0.1, 0.1)
+                    yj = _canon_y([np.cos(jitter) * y[0] - np.sin(jitter) * y[1],
+                                   np.sin(jitter) * y[0] + np.cos(jitter) * y[1],
+                                   0.0])
+                    cands.append(_frame(
+                        down, yj,
+                        np.array([c[0], c[1], top + depth - grab])))
+            # side grasps: approach along -u into the +-u faces, close
+            # along the other horizontal axis
+            for ax in (0, 1):
+                other = 1 - ax
+                if size[other] >= open_w:
+                    continue
+                zg = min(c[2], TABLE_HEIGHT + size[2] - 0.012)
+                zg = max(zg, TABLE_HEIGHT + gripper.half_hand_thickness
+                         + 0.004)
+                if zg > c[2] + size[2] / 2 - 0.004:
+                    continue
+                grab = min(size[ax] * 0.8, 0.045)
+                for sign in (+1.0, -1.0):
+                    a = np.zeros(3)
+                    a[ax] = -sign
+                    y = np.zeros(3)
+                    y[other] = 1.0
+                    face = c.copy()
+                    face[ax] += sign * size[ax] / 2
+                    base = np.array([face[0], face[1], zg]) \
+                        - (depth - grab) * a
+                    cands.append(_frame(a, _canon_y(y), base))
+        else:   # cylinder
+            r, h = obj["radius"], obj["height"]
+            top = c[2] + h / 2
+            if 2 * r < open_w:
+                top_down(top, c, min(h * 0.8, 0.045),
+                         np.linspace(-np.pi / 2, np.pi / 2, 3))
+                # side grasps at 4 azimuths, 1-2 heights
+                zlo = TABLE_HEIGHT + gripper.half_hand_thickness + 0.004
+                zhi = top - 0.008
+                if zhi > zlo:
+                    grab = min(r + 0.02, 0.05)
+                    for phi in rng.uniform(0, 2 * np.pi) \
+                            + np.linspace(0, 2 * np.pi, 4, endpoint=False):
+                        a = np.array([-np.cos(phi), -np.sin(phi), 0.0])
+                        y = np.array([-np.sin(phi), np.cos(phi), 0.0])
+                        for zg in np.linspace(zlo, zhi,
+                                              2 if zhi - zlo > 0.03 else 1):
+                            near = np.array([c[0] + r * np.cos(phi),
+                                             c[1] + r * np.sin(phi), zg])
+                            base = near - (depth - grab) * a
+                            cands.append(_frame(a, _canon_y(y), base))
+    return cands
+
+
+# --------------------------------------------------------------------------
+# generation-time geometric validation (numpy restatement of
+# eval/collision.py's masks; same EvalConfig / GripperConfig constants)
+
+def _validate_grasps(frames, scene_pts, scene_normals, view_pts,
+                     gripper: GripperConfig, ecfg: EvalConfig):
+    """Return (keep_mask, antipodal_score) for candidate frames [K,3,4]."""
+    keep = np.zeros(len(frames), bool)
+    anti = np.zeros(len(frames), np.float32)
+    hw = gripper.hand_half_bottom_width
+    hs = gripper.hand_half_bottom_space
+    depth = gripper.depth
+
+    for i, fr in enumerate(frames):
+        axes, base = fr[:, :3], fr[:, 3]
+        tip_z = base[2] + axes[2, 0] * depth
+        if tip_z < TABLE_HEIGHT - ecfg.table_offset:
+            continue
+
+        local = (scene_pts - base) @ axes            # [N, 3] gripper frame
+        x, y, z = local[:, 0], local[:, 1], local[:, 2]
+        close_plane = (x > -gripper.bottom_length) & (x < depth)
+        slab = np.abs(z) < gripper.half_hand_thickness
+        back = close_plane & slab & (np.abs(y) < hw) & (x < 0)
+        finger = close_plane & slab & (np.abs(y) > hs) & (np.abs(y) < hw)
+        close_region = close_plane & slab & (np.abs(y) < hs)
+        if (back.sum() > ecfg.back_collision_threshold
+                or finger.sum() > ecfg.finger_collision_threshold
+                or close_plane.sum() < ecfg.num_points_threshold
+                or close_region.sum() < ecfg.close_region_min_points):
+            continue
+
+        # the closing region must be (mostly) visible in the view cloud
+        vlocal = (view_pts - base) @ axes
+        v_close = ((vlocal[:, 0] > -gripper.bottom_length)
+                   & (vlocal[:, 0] < depth)
+                   & (np.abs(vlocal[:, 2]) < gripper.half_hand_thickness)
+                   & (np.abs(vlocal[:, 1]) < hs))
+        if v_close.sum() < ecfg.close_region_min_points:
+            continue
+
+        # antipodal score (evaluation_data_generator.py:397-418)
+        yc = y[close_region]
+        ny = np.abs((scene_normals[close_region] @ axes)[:, 1])
+        nsd = min((yc.max() - yc.min()) / 3.0, ecfg.neighbor_depth)
+        left = yc > yc.max() - nsd
+        right = yc < yc.min() + nsd
+        if not left.any() or not right.any():
+            continue
+        score = float(ny[left].mean() * ny[right].mean())
+        if score < 0.3:
+            continue
+        keep[i] = True
+        anti[i] = score
+    return keep, anti
+
+
+# --------------------------------------------------------------------------
+# visibility (angular z-buffer from the camera)
+
+def _visible_mask(points, cam, bins=768, tol=0.01):
+    """Keep points within `tol` of the nearest return in their angular bin."""
+    d = points - cam
+    r = np.linalg.norm(d, axis=1)
+    az = np.arctan2(d[:, 1], d[:, 0])
+    el = np.arcsin(np.clip(d[:, 2] / np.maximum(r, 1e-9), -1, 1))
+
+    def to_bin(v):
+        lo, hi = v.min(), v.max() + 1e-9
+        return np.minimum(((v - lo) / (hi - lo) * bins).astype(np.int64),
+                          bins - 1)
+    cell = to_bin(az) * bins + to_bin(el)
+    nearest = np.full(bins * bins, np.inf)
+    np.minimum.at(nearest, cell, r)
+    return r <= nearest[cell] + tol
+
+
+# --------------------------------------------------------------------------
+
 def make_synthetic_scene(seed: int, num_view: int = 12000,
-                         num_objects: int = 4,
-                         scene_multiple: int = 4) -> dict:
+                         num_objects: int | None = None,
+                         scene_multiple: int = 4,
+                         view_index: int | None = None) -> dict:
     """Build one scene dict in the reference pickle schema."""
     rng = np.random.RandomState(seed)
+    if num_objects is None:
+        num_objects = rng.randint(4, 8)
+    if view_index is None:
+        view_index = seed % len(_CAMERA_POSE)
+    cam = _CAMERA_POSE[view_index]
+    gripper, ecfg = GripperConfig(), EvalConfig()
 
-    obj_pts, obj_normals, obj_labels, obj_tops = [], [], [], []
-    n_obj_pts = int(num_view * 0.6) // num_objects
-    for i in range(num_objects):
-        cx, cy = rng.uniform(-0.25, 0.25, 2)
-        if rng.rand() < 0.5:
-            r = rng.uniform(0.02, 0.035)
-            cz = TABLE_HEIGHT + r
-            pts, nrm = _sample_sphere(rng, np.array([cx, cy, cz]), r,
-                                      n_obj_pts)
-            top = np.array([cx, cy, cz + r])
+    for attempt in range(4):
+        objs = _place_objects(rng, max(num_objects - attempt, 2))
+
+        # dense surface samples (2x the view budget; occlusion culls ~40%)
+        n_raw = num_view * 2
+        n_obj_pts = int(n_raw * 0.6) // len(objs)
+        pts_list, nrm_list, lbl_list = [], [], []
+        for i, obj in enumerate(objs):
+            p, nv = _object_points(rng, obj, n_obj_pts)
+            pts_list.append(p)
+            nrm_list.append(nv)
+            lbl_list.append(np.full(len(p), i + 1))
+        n_table = n_raw - sum(len(p) for p in pts_list)
+        table = np.c_[rng.uniform(-0.35, 0.35, (n_table, 2)),
+                      np.full(n_table, TABLE_HEIGHT)]
+        pts_list.append(table)
+        nrm_list.append(np.tile([0.0, 0.0, 1.0], (n_table, 1)))
+        lbl_list.append(np.zeros(n_table))
+
+        all_pts = np.concatenate(pts_list).astype(np.float32)
+        all_nrm = np.concatenate(nrm_list).astype(np.float32)
+        all_lbl = np.concatenate(lbl_list).astype(np.float32)
+
+        vis = _visible_mask(all_pts, cam)
+        sel = np.flatnonzero(vis)
+        sel = rng.choice(sel, num_view, replace=len(sel) < num_view)
+        view, view_nrm = all_pts[sel], all_nrm[sel]
+        label = all_lbl[sel]
+
+        frames = _candidate_grasps(rng, objs, gripper)
+        if frames:
+            frames = np.stack(frames)
+            keep, anti = _validate_grasps(
+                frames, all_pts, all_nrm, view, gripper, ecfg)
+            frames, anti = frames[keep], anti[keep]
         else:
-            size = rng.uniform(0.03, 0.06, 3)
-            cz = TABLE_HEIGHT + size[2] / 2
-            pts, nrm = _sample_box(rng, np.array([cx, cy, cz]), size,
-                                   n_obj_pts)
-            top = np.array([cx, cy, cz + size[2] / 2])
-        keep = pts[:, 2] >= TABLE_HEIGHT - 1e-4
-        obj_pts.append(pts[keep])
-        obj_normals.append(nrm[keep])
-        obj_labels.append(np.full(keep.sum(), i + 1))
-        obj_tops.append(top)
+            frames = np.zeros((0, 3, 4), np.float32)
+            anti = np.zeros(0, np.float32)
+        if len(frames) >= 4:
+            break
+        # over-cluttered scene: retry with fewer objects
 
-    n_table = num_view - sum(len(p) for p in obj_pts)
-    table = np.c_[rng.uniform(-0.35, 0.35, (n_table, 2)),
-                  np.full(n_table, TABLE_HEIGHT)]
-    table_n = np.tile([0.0, 0.0, 1.0], (n_table, 1))
-    view = np.concatenate(obj_pts + [table]).astype(np.float32)
-    view_normal = np.concatenate(obj_normals + [table_n]).astype(
-        np.float32)
-    label = np.concatenate(obj_labels + [np.zeros(n_table)]).astype(
-        np.float32)
-
-    # graspability: object points score by height above table (squashed),
-    # table points 0 — same [0, inf) raw range the reference tanh-squashes
-    h = np.maximum(view[:, 2] - TABLE_HEIGHT, 0.0)
-    score = np.where(label > 0, h / max(h.max(), 1e-6) * 2.0, 0.0).astype(
-        np.float32)
+    # graspability: falloff to the nearest GT closing-region centroid
+    # (raw range [0, 2]; the dataset applies tanh like scoredataset.py:80)
+    if len(frames):
+        # centroid = base + approach * (depth - grab/2) ~ base + 0.75*depth
+        cc = frames[:, :, 3] + frames[:, :, 0] * (0.75 * gripper.depth)
+        d2 = ((view[:, None, :] - cc[None, :, :]) ** 2).sum(-1).min(1)
+        score = 2.0 * np.exp(-d2 / (2 * 0.02 ** 2))
+        score = np.where(label > 0, score, 0.0).astype(np.float32)
+    else:
+        score = np.zeros(num_view, np.float32)
     color = rng.rand(num_view, 3).astype(np.float32)
 
-    # GT grasps: top-down pinches engaging the top `grab` of each object.
-    # The frame translation is the hand base: the fingertips reach
-    # translation + depth*approach, so with approach = -z the base sits
-    # depth-grab above the object top and the closing region covers its
-    # top `grab` metres (keeps fingers clear of the table for objects
-    # taller than grab - 0.005).
-    depth, grab = 0.06, 0.025
-    frames, ascore = [], []
-    for top in obj_tops:
-        for t in np.linspace(-np.pi / 2, np.pi / 2, 5):
-            approach = np.array([0.0, 0.0, -1.0])
-            y = np.array([np.cos(t), np.sin(t), 0.0])
-            if y[0] < 0:
-                y = -y
-            z = np.cross(approach, y)
-            base = top + np.array([0.0, 0.0, depth - grab])
-            frame = np.c_[approach, y, z, base]
-            frames.append(frame)
-            ascore.append(0.5 + 0.5 * np.cos(t) ** 2)
-    frames = np.asarray(frames, np.float32)
-    ascore = np.asarray(ascore, np.float32)
-
     n_scene = num_view * scene_multiple
-    idx = np.random.RandomState(seed + 1).randint(0, num_view, n_scene)
-    scene = view[idx] + rng.randn(n_scene, 3).astype(np.float32) * 1e-4
-    normal = view_normal[idx]    # exact analytic surface normals
+    idx = np.random.RandomState(seed + 1).randint(0, len(all_pts), n_scene)
+    scene = all_pts[idx] + rng.randn(n_scene, 3).astype(np.float32) * 1e-4
+    normal = all_nrm[idx]    # exact analytic surface normals
 
     return {
         "view_cloud": view,
         "view_cloud_color": color,
         "view_cloud_score": score,
         "view_cloud_label": label,
-        "select_frame": frames,
-        "select_antipodal_score": ascore,
-        "select_center_score": ascore,
-        "select_vertical_score": ascore,
+        "select_frame": frames.astype(np.float32),
+        "select_antipodal_score": anti,
+        "select_center_score": anti,
+        "select_vertical_score": anti,
         "select_frame_label": np.ones(len(frames), np.float32),
         "scene_cloud": scene,
         "scene_normal": normal,
@@ -131,8 +415,10 @@ def write_synthetic_dataset(path: str, num_scenes: int = 8,
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i in range(num_scenes):
-        scene = make_synthetic_scene(seed + i, num_view=num_view)
-        p = os.path.join(out_dir, f"{i:04d}_view_{i % 4}.p")
+        view_index = i % len(_CAMERA_POSE)
+        scene = make_synthetic_scene(seed + i, num_view=num_view,
+                                     view_index=view_index)
+        p = os.path.join(out_dir, f"{i:04d}_view_{view_index}.p")
         with open(p, "wb") as f:
             pickle.dump(scene, f)
         paths.append(p)
