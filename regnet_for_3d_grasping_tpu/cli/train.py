@@ -220,8 +220,12 @@ def main(argv=None):
                         ("stage3_score", sets["grasp_stage3_score"])):
                     if len(grasps) == 0:
                         continue
+                    # per-grasp [G] depths (reference map_param_dict path,
+                    # utils.py:261-268,293); constant here but exercises
+                    # the array plumbing end-to-end
+                    depths = np.full(len(grasps), g.depth, np.float32)
                     rec = evaluate_scene_grasps(
-                        data, grasps, view, g.table_height, g.depth,
+                        data, grasps, view, g.table_height, depths,
                         float(batch.width[0]), g, cfg.eval)
                     records[stage_name] = records[stage_name].add(rec)
             n += 1

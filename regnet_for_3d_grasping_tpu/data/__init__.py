@@ -3,6 +3,7 @@ from regnet_for_3d_grasping_tpu.data.dataset import (  # noqa: F401
     SceneBatch,
     load_scene,
     pad_gt_grasps,
+    width_from_path,
 )
 from regnet_for_3d_grasping_tpu.data.synthetic import (  # noqa: F401
     make_synthetic_scene,

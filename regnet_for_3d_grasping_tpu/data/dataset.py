@@ -44,6 +44,27 @@ def load_scene(path: str) -> dict:
         return pickle.load(f)
 
 
+def width_from_path(path: str, default: float = 0.08) -> float:
+    """Parse the per-dataset gripper width from the data path.
+
+    The reference stores datasets under a directory named after the
+    gripper width and re-parses it at eval time:
+    ``width = float(cur_data_path.split('/')[-3])`` guarded by a ``'0' in
+    parts[-3]`` check (utils.py:286-287), e.g.
+    ``.../0.080/training_data/4080_view_1.p`` -> 0.08.  Here the guard is
+    an actual float parse instead of the substring test.
+    """
+    parts = os.path.abspath(path).split(os.sep)
+    if len(parts) >= 3:
+        try:
+            w = float(parts[-3])
+            if 0.0 < w < 1.0:    # metres; rejects year-like directories
+                return w
+        except ValueError:
+            pass
+    return default
+
+
 def pad_gt_grasps(data: dict, max_grasps: int):
     """Extract + pad the GT grasp arrays from a scene dict.
 
@@ -76,10 +97,12 @@ class GraspDataset:
 
     def __init__(self, base_path: str, tag: str = "train",
                  num_points: int = 25600, max_gt_grasps: int = 512,
-                 seed: int = 1, width: float = 0.08):
+                 seed: int = 1, width: float | None = None):
+        """`width=None` parses the gripper width from the dataset
+        directory name like the reference (utils.py:286-287), falling
+        back to the 0.08 default."""
         self.num_points = num_points
         self.max_gt_grasps = max_gt_grasps
-        self.width = np.float32(width)
         self.tag = tag
 
         sub = "training_data_test" if tag == "test" else "training_data"
@@ -100,6 +123,11 @@ class GraspDataset:
                                dtype=int)
             selected = names[idx]
         self.paths = [os.path.join(root, n) for n in selected]
+        if width is None:
+            probe = self.paths[0] if self.paths else os.path.join(
+                root, "probe.p")
+            width = width_from_path(probe)
+        self.width = np.float32(width)
 
     def __len__(self):
         return len(self.paths)

@@ -92,13 +92,17 @@ def eval_validate(data: dict, grasps: np.ndarray, view_num: int,
     """Ground-truth path (eval.py:14-22 / EvalDataValidate.run_collision).
 
     Returns (vgr_count, score_sum, nocoll_view_num, view_ok_mask,
-    scene_ok_mask) — counts, like the reference's run_collision.
+    scene_ok_mask, antipodal_per_grasp) — counts like the reference's
+    run_collision, plus the per-grasp antipodal scores (zero where
+    scene_ok is False) so callers can re-aggregate without a second
+    collision pass.
     """
     gripper = _with_width(gripper, width)
     cfg = cfg or EvalConfig()
     grasps = np.asarray(grasps, np.float32)
     if len(grasps) == 0:
-        return 0.0, 0.0, 0, np.zeros(0, bool), np.zeros(0, bool)
+        return (0.0, 0.0, 0, np.zeros(0, bool), np.zeros(0, bool),
+                np.zeros(0, np.float32))
 
     view_pts = jnp.asarray(np.asarray(data["view_cloud"])[:, :3],
                            jnp.float32)
@@ -125,18 +129,37 @@ def eval_validate(data: dict, grasps: np.ndarray, view_num: int,
     vgr_count = float(scene_ok.sum())
     score_sum = float(antipodal.sum())
     nocoll_view = int(view_ok.sum())
-    return vgr_count, score_sum, nocoll_view, view_ok, scene_ok
+    return vgr_count, score_sum, nocoll_view, view_ok, scene_ok, antipodal
 
 
 def evaluate_scene_grasps(data: dict, grasps: np.ndarray, view_num: int,
                           table_height: float, depth, width: float,
                           gripper: Optional[GripperConfig] = None,
-                          cfg: Optional[EvalConfig] = None) -> EvalRecord:
-    """One-call wrapper returning an EvalRecord accumulator entry."""
-    vgr_count, score_sum, nocoll_view, _, _ = eval_validate(
+                          cfg: Optional[EvalConfig] = None,
+                          pad_to: int = 256) -> EvalRecord:
+    """One-call wrapper returning an EvalRecord accumulator entry.
+
+    `pad_to` buckets the grasp count to a multiple of this value with
+    sentinel below-table grasps (always rejected by the fingertip check)
+    so repeated calls with varying counts reuse a handful of compiled
+    shapes instead of one per count — this matters on remote-compile
+    backends.  The returned `formal` count is the true grasp count.
+    """
+    grasps = np.asarray(grasps, np.float32)
+    G = len(grasps)
+    if pad_to and G:
+        pad = (-G) % pad_to
+        if pad:
+            sentinel = np.zeros((pad, grasps.shape[1]), np.float32)
+            sentinel[:, 2] = -10.0     # far below the table
+            sentinel[:, 3] = 1.0       # unit axis_y
+            grasps = np.concatenate([grasps, sentinel])
+            if np.ndim(depth) == 1:    # per-grasp [G] depths: pad to match
+                depth = np.concatenate(
+                    [np.asarray(depth, np.float32), np.ones(pad, np.float32)])
+    vgr_count, score_sum, nocoll_view, _, _, _ = eval_validate(
         data, grasps, view_num, table_height, depth, width, gripper, cfg)
-    return EvalRecord(vgr_count, score_sum, float(nocoll_view),
-                      float(len(grasps)))
+    return EvalRecord(vgr_count, score_sum, float(nocoll_view), float(G))
 
 
 def evaluate_at_thresholds(data: dict, grasps: np.ndarray,
@@ -147,15 +170,28 @@ def evaluate_at_thresholds(data: dict, grasps: np.ndarray,
     """VGR/score sweep over prediction-score thresholds.
 
     The reference sketches this as a disabled branch
-    (utils.py:325-352, score_thres).  Returns
-    {threshold: EvalRecord}.
+    (utils.py:325-352, score_thres).  Returns {threshold: EvalRecord}.
+
+    Single collision pass: the per-grasp view/scene/antipodal results are
+    threshold-independent, so they are computed ONCE and the T-threshold
+    aggregation happens on the host (a T-fold saving over re-running the
+    geometric pipeline per threshold).
     """
+    grasps = np.asarray(grasps, np.float32)
+    if len(grasps) == 0:
+        return {t: EvalRecord() for t in thresholds}
+    _, _, _, view_ok, scene_ok, antipodal = eval_validate(
+        data, grasps, view_num, table_height, depth, width, gripper, cfg)
+
     out = {}
-    grasps = np.asarray(grasps)
+    pscore = grasps[:, 7]
     for t in thresholds:
-        sel = grasps[grasps[:, 7] > t] if len(grasps) else grasps
-        out[t] = evaluate_scene_grasps(
-            data, sel, view_num, table_height, depth, width, gripper, cfg)
+        sel = pscore > t
+        out[t] = EvalRecord(
+            float((scene_ok & sel).sum()),
+            float(antipodal[sel].sum()),
+            float((view_ok & sel).sum()),
+            float(sel.sum()))
     return out
 
 

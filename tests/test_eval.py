@@ -170,7 +170,8 @@ class TestEvaluatorFacade:
         grasps = np.asarray(frames_to_grasps(
             jnp.asarray(frames[:, :3, :3]), jnp.asarray(frames[:, :3, 3]),
             jnp.asarray(scene["select_antipodal_score"][:, None])))
-        vgr_count, score_sum, nocoll_view, view_ok, scene_ok = eval_validate(
+        (vgr_count, score_sum, nocoll_view, view_ok, scene_ok,
+         _anti) = eval_validate(
             scene, grasps, 0, TABLE, DEPTH, GRIPPER.width, GRIPPER, ECFG)
         assert 0 <= vgr_count <= len(grasps)
         assert nocoll_view >= vgr_count
@@ -207,6 +208,85 @@ class TestThresholdSweep:
         # higher threshold -> fewer formal grasps, never more
         assert recs[0.0].formal >= recs[0.6].formal >= recs[0.9].formal
         assert recs[0.0].formal == len(grasps)
+
+    def test_sweep_matches_per_threshold_eval(self):
+        """The single-pass sweep must agree with filtering first and
+        running the full evaluator per threshold."""
+        from regnet_for_3d_grasping_tpu.eval.evaluator import (
+            evaluate_at_thresholds)
+        scene = make_synthetic_scene(5, num_view=6000)
+        frames = scene["select_frame"]
+        scores = scene["select_antipodal_score"]
+        grasps = np.asarray(frames_to_grasps(
+            jnp.asarray(frames[:, :3, :3]), jnp.asarray(frames[:, :3, 3]),
+            jnp.asarray(scores[:, None])))
+        recs = evaluate_at_thresholds(
+            scene, grasps, [0.0, 0.7], 1, TABLE, DEPTH,
+            GRIPPER.width, GRIPPER, ECFG)
+        for t in (0.0, 0.7):
+            sel = grasps[grasps[:, 7] > t]
+            ref = evaluate_scene_grasps(
+                scene, sel, 1, TABLE, DEPTH, GRIPPER.width, GRIPPER, ECFG,
+                pad_to=0)
+            assert recs[t].formal == ref.formal
+            assert recs[t].vgr_count == ref.vgr_count
+            assert recs[t].nocoll_view == ref.nocoll_view
+            np.testing.assert_allclose(recs[t].score_sum, ref.score_sum,
+                                       rtol=1e-5)
+
+
+class TestWidthDepthPlumbing:
+    def test_width_from_path(self):
+        from regnet_for_3d_grasping_tpu.data import width_from_path
+        assert width_from_path("/data/0.080/training_data/1_view_0.p") \
+            == pytest.approx(0.08)
+        assert width_from_path("/data/0.10/training_data/1_view_0.p") \
+            == pytest.approx(0.10)
+        # non-numeric and out-of-range directories fall back to default
+        assert width_from_path("/data/scenes/training_data/1_view_0.p") \
+            == pytest.approx(0.08)
+        assert width_from_path("/data/2021/training_data/1_view_0.p") \
+            == pytest.approx(0.08)
+
+    def test_dataset_parses_width_directory(self, tmp_path):
+        from regnet_for_3d_grasping_tpu.data import (
+            GraspDataset, write_synthetic_dataset)
+        root = tmp_path / "0.10"
+        write_synthetic_dataset(str(root), num_scenes=4, num_view=400)
+        ds = GraspDataset(str(root), "train", 400, 32)
+        assert float(ds.width) == pytest.approx(0.10)
+        batch = next(ds.batches(1, seed=0))
+        assert float(batch.width[0]) == pytest.approx(0.10)
+        # explicit width still wins
+        ds2 = GraspDataset(str(root), "train", 400, 32, width=0.07)
+        assert float(ds2.width) == pytest.approx(0.07)
+
+    def test_per_grasp_depth_array_through_facade(self):
+        """[G] depth arrays (reference map_param_dict, utils.py:293)
+        change accept masks through evaluate_scene_grasps, including the
+        sentinel-padding path."""
+        scene = make_synthetic_scene(6, num_view=6000)
+        frames = scene["select_frame"]
+        scores = scene["select_antipodal_score"]
+        grasps = np.asarray(frames_to_grasps(
+            jnp.asarray(frames[:, :3, :3]), jnp.asarray(frames[:, :3, 3]),
+            jnp.asarray(scores[:, None])))
+        full = evaluate_scene_grasps(
+            scene, grasps, 2, TABLE,
+            np.full(len(grasps), DEPTH, np.float32),
+            GRIPPER.width, GRIPPER, ECFG, pad_to=16)
+        # near-zero depth empties every close plane -> all rejected
+        tiny = evaluate_scene_grasps(
+            scene, grasps, 2, TABLE,
+            np.full(len(grasps), 1e-4, np.float32),
+            GRIPPER.width, GRIPPER, ECFG, pad_to=16)
+        assert full.nocoll_view > 0
+        assert tiny.nocoll_view == 0
+        # scalar and constant-array depths agree
+        scalar = evaluate_scene_grasps(
+            scene, grasps, 2, TABLE, DEPTH, GRIPPER.width, GRIPPER, ECFG,
+            pad_to=16)
+        assert scalar == full
 
 
 class TestDepthVariants:
