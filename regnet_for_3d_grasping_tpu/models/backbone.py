@@ -41,6 +41,7 @@ class SetAbstraction(nn.Module):
     num_neighbours: int
     mlp_channels: Sequence[int]
     dtype: jnp.dtype | None = None
+    ball_query_method: str = "bucket"
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feature: Optional[jax.Array],
@@ -49,7 +50,8 @@ class SetAbstraction(nn.Module):
         idx = ops.farthest_point_sample(xyz, self.num_centroids)
         new_xyz = ops.gather_points(xyz, idx)
         nidx, _ = ops.ball_query(xyz, new_xyz, self.radius,
-                                 self.num_neighbours)
+                                 self.num_neighbours,
+                                 method=self.ball_query_method)
         # translation-normalized neighbourhood coords (modules.py:46)
         group_xyz = ops.group_points(xyz, nidx) - new_xyz[:, :, None, :]
         if feature is not None:
@@ -188,6 +190,7 @@ class PointNet2Seg(nn.Module):
                 num_neighbours=cfg.num_neighbours[i],
                 mlp_channels=cfg.sa_channels[i],
                 dtype=self.dtype,
+                ball_query_method=cfg.ball_query_method,
                 name=f"sa{i}")(xyz, feature, train)
             inter_xyz.append(xyz)
             inter_feat.append(feature)

@@ -66,6 +66,11 @@ class ModelConfig:
     feature_channels: int = 256      # backbone per-point feature (last FP output)
     refine_group_channels: int = 128 # group-feature slice fed to RefineNet
 
+    # Ball-query neighbour selection: "bucket" (fast stratified pick) or
+    # "exact" (the CUDA kernel's first-K-in-index-order semantics,
+    # ball_query_kernel.cu:62-69 — used for value-parity checks)
+    ball_query_method: str = "bucket"
+
     # Numerics
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     bn_momentum: float = 0.1         # torch convention; flax momentum = 1 - this

@@ -1,0 +1,175 @@
+"""Value-level forward parity against a torch re-statement of the
+reference network (tests/torch_refnet.py).
+
+Round-1 shipped structural golden parity only (the reference publishes no
+weights).  Here torch-initialized weights travel through
+``utils/torch_import.convert_torch_state_dicts`` into our flax trees and
+the two forwards are compared numerically — proving the converter + model
+reproduce the reference forward math end-to-end, so real reference
+checkpoints will produce value-identical outputs the day they surface
+(reference construct path: utils.py:59-115).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from regnet_for_3d_grasping_tpu.models.heads import (  # noqa: E402
+    RefineHead, TwoStageHead)
+from regnet_for_3d_grasping_tpu.models.score_net import ScoreNet  # noqa: E402
+from regnet_for_3d_grasping_tpu.utils.config import ModelConfig  # noqa: E402
+from regnet_for_3d_grasping_tpu.utils.torch_import import (  # noqa: E402
+    convert_torch_state_dicts)
+
+from torch_refnet import (  # noqa: E402
+    TorchRefine, TorchScoreNet, TorchTwoStage, _randomize_bn)
+
+
+def _parity_config() -> ModelConfig:
+    return ModelConfig(
+        num_centroids=(48, 24, 12),
+        radii=(0.25, 0.35, 0.6),
+        num_neighbours=(8, 8, 8),
+        sa_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128)),
+        fp_channels=((128, 128), (64, 64), (32, 32, 32)),
+        seg_channels=(32, 32, 32, 32),
+        feature_channels=32,
+        refine_group_channels=16,
+        ball_query_method="exact",    # CUDA first-K-in-index-order
+    )
+
+
+def _cloud(rng, n=192):
+    pc = np.c_[rng.rand(n, 3).astype(np.float32),
+               rng.rand(n, 3).astype(np.float32)]
+    return pc[None]
+
+
+class _Shell(torch.nn.Module):
+    """Wraps the torch heads under the reference GRN attribute names so
+    state_dict keys match utils/torch_import._REGION_MAP."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.extrat_feature_region = TorchTwoStage(cfg)
+        self.extrat_feature_refine = TorchRefine(cfg)
+
+
+class TestScoreNetValueParity:
+    def test_backbone_forward_matches_torch(self):
+        cfg = _parity_config()
+        rng = np.random.RandomState(0)
+        torch.manual_seed(0)
+
+        tnet = TorchScoreNet(cfg).eval()
+        _randomize_bn(tnet, rng)
+        with torch.no_grad():   # spread the sigmoid inputs away from 0
+            tnet.extrat_featurePN2.conv_score.weight.mul_(40.0)
+
+        pc = _cloud(rng)
+        with torch.no_grad():
+            t_feat, t_score = tnet(torch.from_numpy(pc))
+
+        model = ScoreNet(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.asarray(pc))
+        params, stats, report = convert_torch_state_dicts(
+            tnet.state_dict(), None,
+            {"score_net": jax.tree.map(np.asarray, variables["params"])},
+            {"score_net": jax.tree.map(np.asarray,
+                                       variables["batch_stats"])})
+        # every conv/bn of the backbone must have been mapped
+        assert len(report) >= 3 * (3 + 3) * 2  # SA+FP blocks, kernel+scale
+        out_feat, out_score = model.apply(
+            {"params": params["score_net"],
+             "batch_stats": stats["score_net"]},
+            jnp.asarray(pc), train=False)
+
+        np.testing.assert_allclose(np.asarray(out_feat),
+                                   t_feat.numpy(), atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_score),
+                                   t_score.numpy(), atol=2e-5)
+        # the comparison is meaningful: outputs vary across points by much
+        # more than the comparison tolerance
+        assert float(np.std(t_feat.numpy())) > 1e-2
+        assert float(np.std(t_score.numpy())) > 1e-4
+
+    def test_converter_rejects_shape_mismatch(self):
+        cfg = _parity_config()
+        tnet = TorchScoreNet(cfg)
+        sd = tnet.state_dict()
+        bad = dataclasses.replace(cfg, seg_channels=(32, 32, 32, 16))
+        model = ScoreNet(bad)
+        rng = np.random.RandomState(1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.asarray(_cloud(rng)))
+        with pytest.raises(ValueError, match="shape"):
+            convert_torch_state_dicts(
+                sd, None,
+                {"score_net": jax.tree.map(np.asarray,
+                                           variables["params"])},
+                {"score_net": jax.tree.map(np.asarray,
+                                           variables["batch_stats"])})
+
+
+class TestHeadValueParity:
+    def test_twostage_and_refine_match_torch(self):
+        cfg = _parity_config()
+        rng = np.random.RandomState(2)
+        torch.manual_seed(2)
+
+        shell = _Shell(cfg).eval()
+        _randomize_bn(shell, rng)
+
+        B, NC, NG, K = 2, 6, 16, 8
+        group = rng.randn(B, NC, NG, cfg.feature_channels).astype(
+            np.float32)
+        gripper = rng.randn(B, NC, K, cfg.feature_channels).astype(
+            np.float32)
+
+        with torch.no_grad():
+            t_cls, t_reg, t_pooled = shell.extrat_feature_region(
+                torch.from_numpy(group))
+            t_rcls, t_rreg = shell.extrat_feature_refine(
+                torch.from_numpy(gripper), t_pooled)
+
+        grn = TwoStageHead(cfg)
+        gv = grn.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(group))
+        ref = RefineHead(cfg)
+        rv = ref.init({"params": jax.random.PRNGKey(1)},
+                      jnp.asarray(gripper),
+                      jnp.asarray(np.asarray(t_pooled)))
+
+        params, stats, report = convert_torch_state_dicts(
+            None, shell.state_dict(),
+            {"grn_head": jax.tree.map(np.asarray, gv["params"]),
+             "refine_head": jax.tree.map(np.asarray, rv["params"])},
+            {"grn_head": jax.tree.map(np.asarray, gv["batch_stats"]),
+             "refine_head": jax.tree.map(np.asarray, rv["batch_stats"])})
+        assert len(report) >= 12 * 2
+
+        cls, reg, pooled = grn.apply(
+            {"params": params["grn_head"],
+             "batch_stats": stats["grn_head"]},
+            jnp.asarray(group), train=False)
+        np.testing.assert_allclose(np.asarray(pooled), t_pooled.numpy(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cls), t_cls.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(reg), t_reg.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+        rcls, rreg = ref.apply(
+            {"params": params["refine_head"],
+             "batch_stats": stats["refine_head"]},
+            jnp.asarray(gripper), pooled, train=False)
+        np.testing.assert_allclose(np.asarray(rcls), t_rcls.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(rreg), t_rreg.numpy(),
+                                   atol=2e-4, rtol=1e-3)
