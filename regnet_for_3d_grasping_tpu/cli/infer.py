@@ -37,6 +37,11 @@ def build_parser():
     p.add_argument("--no-eval", action="store_true",
                    help="skip the collision filter (raw grasp sets)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--accept-margin", type=float, default=0.0,
+                   help="refine-classifier acceptance margin "
+                        "(logit[valid]-logit[invalid] > margin; 0 = the "
+                        "reference argmax; calibrate with "
+                        "tools/calibrate_accept.py)")
     return p
 
 
@@ -91,6 +96,7 @@ def main(argv=None):
         "region.center_num": args.center_num,
         "region.group_num_more": args.group_num_more,
         "region.num_points": args.all_points_num,
+        "region.accept_margin": args.accept_margin,
     })
     dtype = jnp.bfloat16 if args.bf16 else None
     model = REGNet(cfg, dtype=dtype)

@@ -141,8 +141,10 @@ class REGNet(nn.Module):
                  + refine_reg[..., :3] * cfg.gripper.depth,
                  proposals_sg[..., 3:] + refine_reg[..., 3:]], axis=-1)
             crop_valid = crop.valid
-            refine_accept = (jnp.argmax(refine_logits, axis=-1) == 1) \
-                & crop_valid
+            # margin 0.0 == the reference's argmax acceptance (grn:210-215)
+            margin = region.accept_margin
+            refine_accept = (refine_logits[..., 1] - refine_logits[..., 0]
+                             > margin) & crop_valid
             score_accept = refine_accept \
                 & (final[..., 7] > region.grasp_score_thre)
         else:

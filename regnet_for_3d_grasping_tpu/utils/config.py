@@ -94,6 +94,12 @@ class RegionConfig:
     gripper_num: int = 64        # points kept inside the gripper closing region
     min_region_points: int = 5   # >5 inside points required (grn:539)
     grasp_score_thre: float = 0.5
+    # Refine-classifier acceptance margin: accept iff
+    # logit[valid] - logit[invalid] > margin.  0.0 reproduces the
+    # reference's argmax acceptance (grn:210-215); calibrate on a
+    # validation split with tools/calibrate_accept.py when running at
+    # proposal scales far from the training center_num.
+    accept_margin: float = 0.0
     max_gt_grasps: int = 512     # static pad for per-scene ground-truth grasps
     # Reference quirk kept for parity: the center<->GT matching threshold 0.005
     # is applied to the SQUARED distance (get_regiondataset.py:114 with

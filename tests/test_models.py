@@ -243,3 +243,28 @@ class TestREGNet:
                          rngs={"sampling": jax.random.PRNGKey(7)})
         np.testing.assert_array_equal(np.asarray(o1.final_grasps),
                                       np.asarray(o2.final_grasps))
+
+    def test_accept_margin_monotone(self, cfg, pc, model_and_vars):
+        """accept_margin 0 == argmax acceptance; raising the margin never
+        accepts more grasps (calibration knob, region.accept_margin)."""
+        import dataclasses
+        model, variables = model_and_vars
+        key = {"sampling": jax.random.PRNGKey(11)}
+        out0 = model.apply(variables, pc, rngs=key)
+        expect = (np.asarray(out0.refine_logits).argmax(-1) == 1) \
+            & np.asarray(out0.crop_valid)
+        np.testing.assert_array_equal(np.asarray(out0.refine_accept),
+                                      expect)
+
+        counts = []
+        for margin in (-5.0, 0.0, 5.0):
+            c = dataclasses.replace(cfg, region=dataclasses.replace(
+                cfg.region, accept_margin=margin))
+            out = REGNet(c).apply(variables, pc, rngs=key)
+            counts.append(int(np.asarray(out.refine_accept).sum()))
+        assert counts[0] >= counts[1] >= counts[2]
+        # -5 margin accepts every crop-valid proposal
+        out = REGNet(dataclasses.replace(cfg, region=dataclasses.replace(
+            cfg.region, accept_margin=-1e9))).apply(variables, pc, rngs=key)
+        np.testing.assert_array_equal(np.asarray(out.refine_accept),
+                                      np.asarray(out.crop_valid))
