@@ -54,6 +54,22 @@ class TestFPSPallas:
             F._use_pallas = orig
         np.testing.assert_array_equal(p, l)
 
+    def test_v2_matches_v1(self, clouds):
+        """The aligned-tile centroid extraction (v2) must be bit-identical
+        to the masked-reduction kernel, unmasked and masked."""
+        from regnet_for_3d_grasping_tpu.ops.fps_pallas import fps_pallas
+        xyz, _ = clouds
+        di = jnp.full(xyz.shape[:2], 1e10, jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(fps_pallas(xyz, di, 512, 1)),
+            np.asarray(fps_pallas(xyz, di, 512, 2)))
+        mask = np.zeros(xyz.shape[:2], bool)
+        mask[:, 1000:9000] = True
+        dm = jnp.where(jnp.asarray(mask), 1e10, -1.0)
+        np.testing.assert_array_equal(
+            np.asarray(fps_pallas(xyz, dm, 256, 1)),
+            np.asarray(fps_pallas(xyz, dm, 256, 2)))
+
 
 class TestThreeNNPallas:
     def test_matches_lax(self, clouds):
