@@ -22,6 +22,11 @@
 //   f32[n_grasps*12] frames         (3x4 row-major)
 //   f32[n_grasps*3]  grasp_scores   (score, antipodal, center)
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cmath>
@@ -42,6 +47,78 @@ struct Scene {
   int32_t n_points = 0, n_grasps = 0;
   bool ok = false;
 };
+
+// Zero-copy view of one scene, either into an mmap'd .rsc (preferred:
+// each scene is mapped once and stays page-cached across epochs, instead
+// of a ~1MB fread per batch item) or into a fallback heap Scene.
+struct SceneView {
+  const float *xyz = nullptr, *color = nullptr, *score = nullptr,
+              *label = nullptr, *frames = nullptr, *gscores = nullptr;
+  int32_t n_points = 0, n_grasps = 0;
+  bool ok = false;
+};
+
+struct Mapping {
+  void* base = nullptr;
+  size_t len = 0;
+  SceneView view;
+  bool tried = false;
+};
+
+SceneView view_of(const Scene& s) {
+  SceneView v;
+  v.xyz = s.xyz.data();
+  v.color = s.color.data();
+  v.score = s.score.data();
+  v.label = s.label.data();
+  v.frames = s.frames.data();
+  v.gscores = s.gscores.data();
+  v.n_points = s.n_points;
+  v.n_grasps = s.n_grasps;
+  v.ok = s.ok;
+  return v;
+}
+
+Mapping map_scene(const std::string& path) {
+  Mapping m;
+  m.tried = true;
+  int fd = open(path.c_str(), O_RDONLY);
+  if (fd < 0) return m;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 12) {
+    close(fd);
+    return m;
+  }
+  void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (base == MAP_FAILED) return m;
+  const char* p = static_cast<const char*>(base);
+  int32_t np = 0, ng = 0;
+  std::memcpy(&np, p + 4, 4);
+  std::memcpy(&ng, p + 8, 4);
+  size_t need =
+      12 + 4 * ((size_t)np * 3 * 2 + (size_t)np * 2 + (size_t)ng * 15);
+  if (std::memcmp(p, "RSC1", 4) || np <= 0 || ng < 0 ||
+      (size_t)st.st_size < need) {
+    munmap(base, st.st_size);
+    return m;
+  }
+  m.base = base;
+  m.len = st.st_size;
+  madvise(base, st.st_size, MADV_WILLNEED);
+  const float* f = reinterpret_cast<const float*>(p + 12);
+  SceneView& v = m.view;
+  v.xyz = f;
+  v.color = v.xyz + (size_t)np * 3;
+  v.score = v.color + (size_t)np * 3;
+  v.label = v.score + np;
+  v.frames = v.label + np;
+  v.gscores = v.frames + (size_t)ng * 12;
+  v.n_points = np;
+  v.n_grasps = ng;
+  v.ok = true;
+  return m;
+}
 
 Scene load_scene(const std::string& path) {
   Scene s;
@@ -98,6 +175,17 @@ struct Loader {
   std::condition_variable cv;
   bool ready_ok = false, stop = false;
 
+  std::vector<Mapping> maps;   // lazily mmap'd scenes (index == paths)
+  std::mutex map_mu;
+
+  // Map-once accessor; returns an invalid view when mmap fails (the
+  // caller then falls back to the fread path).
+  const SceneView& view(int i) {
+    std::lock_guard<std::mutex> lk(map_mu);
+    if (!maps[i].tried) maps[i] = map_scene(paths[i]);
+    return maps[i].view;
+  }
+
   ~Loader() {
     {
       std::lock_guard<std::mutex> lk(mu);
@@ -105,6 +193,8 @@ struct Loader {
     }
     cv.notify_all();
     if (prefetcher.joinable()) prefetcher.join();
+    for (auto& m : maps)
+      if (m.base) munmap(m.base, m.len);
   }
 };
 
@@ -122,7 +212,12 @@ float uniformf(uint64_t& state) {
 
 void fill_item(Loader* L, Batch& b, int slot, int scene_idx,
                uint64_t rng_seed) {
-  Scene s = load_scene(L->paths[scene_idx]);
+  SceneView s = L->view(scene_idx);
+  Scene fallback;
+  if (!s.ok) {
+    fallback = load_scene(L->paths[scene_idx]);
+    s = view_of(fallback);
+  }
   const int N = L->num_points, MG = L->max_grasps;
   float* pc = b.pc.data() + (size_t)slot * N * 6;
   float* sc = b.score.data() + (size_t)slot * N;
@@ -184,8 +279,8 @@ void fill_item(Loader* L, Batch& b, int slot, int scene_idx,
   }
 
   const int g = std::min(s.n_grasps, MG);
-  std::memcpy(fr, s.frames.data(), sizeof(float) * (size_t)g * 12);
-  std::memcpy(gs, s.gscores.data(), sizeof(float) * (size_t)g * 3);
+  std::memcpy(fr, s.frames, sizeof(float) * (size_t)g * 12);
+  std::memcpy(gs, s.gscores, sizeof(float) * (size_t)g * 3);
   std::memset(va, 1, g);
 }
 
@@ -261,6 +356,7 @@ void* rsc_loader_create(const char** paths, int n_paths, int batch_size,
   };
   alloc(L->ready);
   alloc(L->filling);
+  L->maps.resize(L->paths.size());
   L->prefetcher = std::thread(prefetch_loop, L);
   return L;
 }
