@@ -217,6 +217,21 @@ def closing_region_crop(key: jax.Array, pc: jax.Array,
     return ClosingRegion(pts, index_in_all.astype(jnp.int32), valid)
 
 
+# Above this M*N work the fused Pallas crop kernel (ops/crop_pallas.py)
+# dispatches on TPU; None disables it (pending on-chip A/B).
+_PALLAS_CROP_THRESHOLD: int | None = None
+
+
+def _use_pallas_crop(m: int, n: int, gripper_num: int) -> bool:
+    if _PALLAS_CROP_THRESHOLD is None \
+            or m * n < _PALLAS_CROP_THRESHOLD or gripper_num % 8:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
                               grasp: jax.Array, gripper: GripperConfig,
                               gripper_num: int, min_points: int = 5,
@@ -236,6 +251,17 @@ def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
     NC = grasp.shape[1]
     frame, center = grasps_to_frames(grasp)
     xyz = pc[..., :3].astype(jnp.float32)
+
+    if _use_pallas_crop(NC, N, gripper_num):
+        from regnet_for_3d_grasping_tpu.ops.crop_pallas import (
+            closing_region_crop_pallas)
+        seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[-1]
+        box = (0.0, gripper.depth / 2, gripper.width / 2,
+               gripper.height / 2)
+        idx, count = closing_region_crop_pallas(
+            xyz, frame, center, seed, box, gripper_num)
+        idx = jnp.where((count > 0)[..., None], idx, 0)
+        return ClosingRegion(None, idx, count > min_points)
 
     chunk = min(proposal_chunk, NC)
     pad = (-NC) % chunk

@@ -120,3 +120,51 @@ class TestBallQueryPallas:
             if pc[0, m] > 0:
                 d = np.linalg.norm(x0[pi[0, m]] - c0[m], axis=-1)
                 assert (d < 0.02 + 1e-6).all()
+
+
+class TestCropPallas:
+    def test_counts_match_xla(self):
+        """Fused crop kernel: exact inside-counts + valid mask parity with
+        the XLA dense crop; selected indices must be inside the box."""
+        from regnet_for_3d_grasping_tpu.geometry.codec import (
+            grasps_to_frames)
+        from regnet_for_3d_grasping_tpu.geometry.region import (
+            closing_region_crop_dense)
+        from regnet_for_3d_grasping_tpu.ops.crop_pallas import (
+            closing_region_crop_pallas)
+        from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
+
+        g = GripperConfig()
+        rng = np.random.RandomState(3)
+        B, N, M, K = 1, 25600, 512, 64
+        xyz = rng.rand(B, N, 3).astype(np.float32) * 0.3
+        xyz[..., 2] += 0.75
+        pc = jnp.asarray(np.concatenate(
+            [xyz, rng.rand(B, N, 3).astype(np.float32)], -1))
+        centers = xyz[:, rng.choice(N, M)]
+        y = rng.randn(B, M, 3).astype(np.float32)
+        y /= np.linalg.norm(y, axis=-1, keepdims=True)
+        grasp = jnp.asarray(np.concatenate(
+            [centers, y, rng.randn(B, M, 1).astype(np.float32),
+             np.zeros((B, M, 1), np.float32)], -1))
+
+        ref = closing_region_crop_dense(jax.random.PRNGKey(0), pc, grasp,
+                                        g, K, 5)
+        frames, ctr = grasps_to_frames(grasp)
+        idx, cnt = closing_region_crop_pallas(
+            pc[..., :3], frames, ctr, jnp.uint32(7),
+            (0.0, g.depth / 2, g.width / 2, g.height / 2), K)
+        cnt = np.asarray(cnt)
+        np.testing.assert_array_equal(cnt > 5, np.asarray(ref.valid))
+
+        # numpy cross-check of counts + membership on a subsample
+        fr, ce, x = map(np.asarray, (frames, ctr, pc[..., :3]))
+        idx = np.asarray(idx)
+        for m in range(0, M, 31):
+            local = (x[0] - ce[0, m]) @ fr[0, m]
+            ins = ((local[:, 0] > 0) & (local[:, 0] < g.depth / 2)
+                   & (np.abs(local[:, 1]) < g.width / 2)
+                   & (np.abs(local[:, 2]) < g.height / 2))
+            assert ins.sum() == cnt[0, m]
+            if ins.sum():
+                assert ins[idx[0, m]].all()
