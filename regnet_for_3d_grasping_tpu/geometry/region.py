@@ -77,6 +77,17 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
     xyz = pc[..., :3].astype(jnp.float32)
     cxyz = centers[..., :3].astype(jnp.float32)
 
+    if _use_pallas_group(NC, N, group_num):
+        from regnet_for_3d_grasping_tpu.ops.group_pallas import (
+            group_regions_pallas)
+        seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[-1]
+        idx, count = group_regions_pallas(xyz, cxyz, seed, radius,
+                                          group_num)
+        valid = count > 0
+        idx = jnp.where(valid[..., None], idx, 0)
+        points = ops.group_points(pc, idx) if with_points else None
+        return RegionGroups(idx, points, valid)
+
     chunk = min(center_chunk, NC)
     pad = (-NC) % chunk
     if pad:
@@ -217,19 +228,30 @@ def closing_region_crop(key: jax.Array, pc: jax.Array,
     return ClosingRegion(pts, index_in_all.astype(jnp.int32), valid)
 
 
-# Above this M*N work the fused Pallas crop kernel (ops/crop_pallas.py)
-# dispatches on TPU; None disables it (pending on-chip A/B).
+# Above this M*N work the fused Pallas crop/group kernels
+# (ops/crop_pallas.py, ops/group_pallas.py) dispatch on TPU; None
+# disables them (pending on-chip A/B).
 _PALLAS_CROP_THRESHOLD: int | None = None
+_PALLAS_GROUP_THRESHOLD: int | None = None
 
 
-def _use_pallas_crop(m: int, n: int, gripper_num: int) -> bool:
-    if _PALLAS_CROP_THRESHOLD is None \
-            or m * n < _PALLAS_CROP_THRESHOLD or gripper_num % 8:
-        return False
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _use_pallas_crop(m: int, n: int, gripper_num: int) -> bool:
+    return (_PALLAS_CROP_THRESHOLD is not None
+            and m * n >= _PALLAS_CROP_THRESHOLD
+            and gripper_num % 8 == 0 and _on_tpu())
+
+
+def _use_pallas_group(m: int, n: int, group_num: int) -> bool:
+    return (_PALLAS_GROUP_THRESHOLD is not None
+            and m * n >= _PALLAS_GROUP_THRESHOLD
+            and group_num % 8 == 0 and _on_tpu())
 
 
 def closing_region_crop_dense(key: jax.Array, pc: jax.Array,

@@ -168,3 +168,26 @@ class TestCropPallas:
             assert ins.sum() == cnt[0, m]
             if ins.sum():
                 assert ins[idx[0, m]].all()
+
+
+class TestGroupPallas:
+    def test_counts_and_membership(self):
+        from regnet_for_3d_grasping_tpu.ops.distances import bpdist2
+        from regnet_for_3d_grasping_tpu.ops.group_pallas import (
+            group_regions_pallas)
+        rng = np.random.RandomState(5)
+        B, N, M, K, r = 1, 25600, 512, 256, 0.008
+        xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 0.4)
+        centers = xyz[:, :M]
+        idx, cnt = map(np.asarray,
+                       group_regions_pallas(xyz, centers, jnp.uint32(5),
+                                            r, K))
+        ref_cnt = (np.asarray(bpdist2(centers, xyz)) <= r * r).sum(-1)
+        # exact diff-square vs expansion-form can differ by 1 ulp at the
+        # radius boundary
+        assert (np.abs(cnt - ref_cnt) <= 2).all()
+        x0, c0 = np.asarray(xyz[0]), np.asarray(centers[0])
+        for m in range(0, M, 29):
+            if cnt[0, m] > 0:
+                d = np.linalg.norm(x0[idx[0, m]] - c0[m], axis=-1)
+                assert (d <= r + 1e-6).all()
