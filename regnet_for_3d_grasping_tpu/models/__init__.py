@@ -3,6 +3,10 @@ from regnet_for_3d_grasping_tpu.models.backbone import (  # noqa: F401
     FeaturePropagation,
     PointNet2Seg,
 )
+from regnet_for_3d_grasping_tpu.models.edge import (  # noqa: F401
+    EdgeSetAbstraction,
+    EdgeFeaturePropagation,
+)
 from regnet_for_3d_grasping_tpu.models.heads import (  # noqa: F401
     TwoStageHead,
     RefineHead,

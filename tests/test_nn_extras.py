@@ -79,3 +79,72 @@ class TestSAVariants:
         nx, nf = m.apply(v, xyz, feat)
         assert nx.shape == (2, 16, 3)
         assert nf.shape == (2, 16, 8)
+
+
+class TestEdgeVariants:
+    """Edge* family (reference modules.py:65-95,137-173,408-477,515-549 —
+    dead code in REGNet's forward path, built for library parity)."""
+
+    def _pc(self, rng):
+        xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        feat = jnp.asarray(rng.rand(2, 64, 4).astype(np.float32))
+        return xyz, feat
+
+    def test_edge_sa_shapes_and_edge_signal(self, rng):
+        from regnet_for_3d_grasping_tpu.models.edge import (
+            EdgeSetAbstraction)
+        xyz, feat = self._pc(rng)
+        m = EdgeSetAbstraction(num_centroids=16, radius=0.3,
+                               num_neighbours=8, mlp_channels=(8, 8))
+        v = m.init(jax.random.PRNGKey(0), xyz, feat)
+        nx, nf = m.apply(v, xyz, feat)
+        assert nx.shape == (2, 16, 3)
+        assert nf.shape == (2, 16, 8)
+        # input channels = 3 (xyz) + C + C (edge): kernel rows = 11
+        k = v["params"]["mlp"]["layer0"]["dense"]["kernel"]
+        assert k.shape[0] == 3 + 4 + 4
+
+    def test_edge_fp_shapes(self, rng):
+        from regnet_for_3d_grasping_tpu.models.edge import (
+            EdgeFeaturePropagation)
+        xyz, feat = self._pc(rng)
+        sparse_xyz = xyz[:, :16]
+        sparse_feat = jnp.asarray(rng.rand(2, 16, 6).astype(np.float32))
+        m = EdgeFeaturePropagation(mlp_channels=(8, 8))
+        v = m.init(jax.random.PRNGKey(0), xyz, sparse_xyz, feat,
+                   sparse_feat)
+        out = m.apply(v, xyz, sparse_xyz, feat, sparse_feat)
+        assert out.shape == (2, 64, 8)
+        # input channels = C2 (interp) + C2 (edge) + C1 (skip)
+        k = v["params"]["mlp"]["layer0"]["dense"]["kernel"]
+        assert k.shape[0] == 6 + 6 + 4
+
+    def test_edge_fp_no_skip(self, rng):
+        from regnet_for_3d_grasping_tpu.models.edge import (
+            EdgeFeaturePropagation)
+        xyz, _ = self._pc(rng)
+        sparse_xyz = xyz[:, :16]
+        sparse_feat = jnp.asarray(rng.rand(2, 16, 6).astype(np.float32))
+        m = EdgeFeaturePropagation(mlp_channels=(8,))
+        v = m.init(jax.random.PRNGKey(0), xyz, sparse_xyz, None,
+                   sparse_feat)
+        out = m.apply(v, xyz, sparse_xyz, None, sparse_feat)
+        assert out.shape == (2, 64, 8)
+
+    def test_edge_sa_gradients_flow(self, rng):
+        from regnet_for_3d_grasping_tpu.models.edge import (
+            EdgeSetAbstraction)
+        xyz, feat = self._pc(rng)
+        m = EdgeSetAbstraction(num_centroids=16, radius=0.3,
+                               num_neighbours=8, mlp_channels=(8,))
+        v = m.init(jax.random.PRNGKey(0), xyz, feat)
+
+        def loss(params):
+            _, nf = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                xyz, feat)
+            return jnp.sum(nf ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert float(jnp.abs(
+            g["mlp"]["layer0"]["dense"]["kernel"]).sum()) > 0
