@@ -39,6 +39,9 @@ def main():
     p.add_argument("--accept-margin", type=float, default=0.0)
     p.add_argument("--stage", type=str, default="stage3_score",
                    choices=["stage2", "stage3", "stage3_score"])
+    p.add_argument("--bf16", action="store_true",
+                   help="run the cascade in bfloat16 compute (quality "
+                        "check for the fast inference path)")
     args = p.parse_args()
 
     import jax
@@ -62,7 +65,7 @@ def main():
         "region.num_points": args.num_points,
         "region.accept_margin": args.accept_margin,
     })
-    model = REGNet(cfg)
+    model = REGNet(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     fwd = jax.jit(lambda v, x, k: model.apply(
         v, x, train=False, rngs={"sampling": k}))
     g = cfg.gripper
