@@ -42,6 +42,10 @@ def build_parser():
                         "(logit[valid]-logit[invalid] > margin; 0 = the "
                         "reference argmax; calibrate with "
                         "tools/calibrate_accept.py)")
+    p.add_argument("--num-refine", type=int, default=1,
+                   help="iterative refinement passes (the reference "
+                        "defines this flag but never implements it, "
+                        "train.py:27; here >1 re-crops and re-refines)")
     return p
 
 
@@ -97,6 +101,7 @@ def main(argv=None):
         "region.group_num_more": args.group_num_more,
         "region.num_points": args.all_points_num,
         "region.accept_margin": args.accept_margin,
+        "region.refine_iters": args.num_refine,
     })
     dtype = jnp.bfloat16 if args.bf16 else None
     model = REGNet(cfg, dtype=dtype)

@@ -129,18 +129,29 @@ class REGNet(nn.Module):
         proposals_sg = jax.lax.stop_gradient(proposals)
         B, NC = proposals.shape[:2]
         if with_refine:
-            crop = closing_region_crop_dense(
-                k_crop, pc, proposals_sg, cfg.gripper,
-                region.gripper_num, region.min_region_points)
-            gripper_feat = ops.group_points(feature, crop.index_in_all)
-            refine_logits, refine_reg = self.refine_head(
-                gripper_feat, pooled, train=train)
-
-            final = jnp.concatenate(
-                [proposals_sg[..., :3]
-                 + refine_reg[..., :3] * cfg.gripper.depth,
-                 proposals_sg[..., 3:] + refine_reg[..., 3:]], axis=-1)
-            crop_valid = crop.valid
+            # iterative refinement (region.refine_iters; 1 = reference
+            # behaviour): re-crop around the refined grasp and re-run the
+            # (shared-parameter) refine head
+            cur = proposals_sg
+            crop_valid = jnp.ones((B, NC), bool)
+            for it in range(max(region.refine_iters, 1)):
+                k_it = jax.random.fold_in(k_crop, it)
+                crop = closing_region_crop_dense(
+                    k_it, pc, cur, cfg.gripper,
+                    region.gripper_num, region.min_region_points)
+                gripper_feat = ops.group_points(feature, crop.index_in_all)
+                refine_logits, refine_reg = self.refine_head(
+                    gripper_feat, pooled, train=train)
+                nxt = jnp.concatenate(
+                    [cur[..., :3] + refine_reg[..., :3] * cfg.gripper.depth,
+                     cur[..., 3:] + refine_reg[..., 3:]], axis=-1)
+                # rows whose crop is empty are masked downstream
+                # (refine_accept &= crop_valid), so the residual applies
+                # unconditionally — identical to the single-shot path
+                crop_valid = crop_valid & crop.valid
+                cur = jax.lax.stop_gradient(nxt) \
+                    if it + 1 < max(region.refine_iters, 1) else nxt
+            final = cur
             # margin 0.0 == the reference's argmax acceptance (grn:210-215)
             margin = region.accept_margin
             refine_accept = (refine_logits[..., 1] - refine_logits[..., 0]

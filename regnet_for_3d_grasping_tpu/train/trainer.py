@@ -149,6 +149,13 @@ def make_train_step(model: REGNet, optimizer, cfg: PipelineConfig,
                     axis_name=None):
     """Build the jitted train step; with a mesh, shard_map the batch over
     every mesh axis (1-D ICI DP or multi-slice DCN x ICI DP)."""
+    if stage == "refine":
+        # the stage-3 residual loss targets (gt - stage2 proposal); with
+        # iterated refinement the last residual is relative to an
+        # intermediate grasp, which would corrupt the loss
+        assert cfg.region.refine_iters == 1, (
+            "training requires region.refine_iters == 1 "
+            "(iterative refinement is inference-only)")
     if mesh is None:
         body = functools.partial(_step_body, model, optimizer, cfg, stage,
                                  None)

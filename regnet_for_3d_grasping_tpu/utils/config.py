@@ -100,6 +100,12 @@ class RegionConfig:
     # validation split with tools/calibrate_accept.py when running at
     # proposal scales far from the training center_num.
     accept_margin: float = 0.0
+    # Iterative refinement: re-crop the closing region of the refined
+    # grasp and re-run the refine head this many times.  The reference
+    # defines --num-refine but never implements it (train.py:27); here >1
+    # is a real INFERENCE-time extension (training requires 1 — the
+    # stage-3 residual loss is defined against the stage-2 proposals).
+    refine_iters: int = 1
     max_gt_grasps: int = 512     # static pad for per-scene ground-truth grasps
     # Reference quirk kept for parity: the center<->GT matching threshold 0.005
     # is applied to the SQUARED distance (get_regiondataset.py:114 with

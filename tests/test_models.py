@@ -268,3 +268,38 @@ class TestREGNet:
             cfg.region, accept_margin=-1e9))).apply(variables, pc, rngs=key)
         np.testing.assert_array_equal(np.asarray(out.refine_accept),
                                       np.asarray(out.crop_valid))
+
+    def test_iterative_refinement(self, cfg, pc, model_and_vars):
+        """refine_iters=1 is bitwise the single-shot path; >1 runs real
+        re-crop + re-refine iterations (inference extension; the
+        reference's --num-refine is defined but unused, train.py:27)."""
+        import dataclasses
+        model, variables = model_and_vars
+        key = {"sampling": jax.random.PRNGKey(13)}
+        base = model.apply(variables, pc, rngs=key)
+
+        c1 = dataclasses.replace(cfg, region=dataclasses.replace(
+            cfg.region, refine_iters=1))
+        out1 = REGNet(c1).apply(variables, pc, rngs=key)
+        np.testing.assert_array_equal(np.asarray(base.final_grasps),
+                                      np.asarray(out1.final_grasps))
+
+        c3 = dataclasses.replace(cfg, region=dataclasses.replace(
+            cfg.region, refine_iters=3))
+        out3 = REGNet(c3).apply(variables, pc, rngs=key)
+        assert out3.final_grasps.shape == base.final_grasps.shape
+        # the iterated grasps moved (random-weight residuals accumulate)
+        moved = np.abs(np.asarray(out3.final_grasps)
+                       - np.asarray(base.final_grasps)).max()
+        assert moved > 0
+        assert np.isfinite(np.asarray(out3.final_grasps)).all()
+
+    def test_training_rejects_multi_iter_refine(self, cfg, pc):
+        import dataclasses
+        from regnet_for_3d_grasping_tpu.train import trainer
+        c3 = dataclasses.replace(cfg, region=dataclasses.replace(
+            cfg.region, refine_iters=3))
+        model = REGNet(c3)
+        opt = trainer.make_optimizer(c3, steps_per_epoch=1)
+        with pytest.raises(AssertionError, match="refine_iters"):
+            trainer.make_train_step(model, opt, c3, stage="refine")
