@@ -60,7 +60,10 @@ def _group_kernel(r2: float, n_valid: int, L: int, seed_ref,
         h = h ^ (h >> 16)
         h = h * jnp.uint32(0x45D9F3B)
         h = h ^ (h >> 16)
-        noise = h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+        # Mosaic can't lower uint32->f32; the top 23 hash bits fit int32
+        # losslessly and are plenty of tiebreak entropy.
+        h23 = (h >> 9).astype(jnp.int32)
+        noise = h23.astype(jnp.float32) * jnp.float32(1.0 / 8388608.0)
         val = jnp.where(mask, noise + 1.0, 0.0)
 
         best = jnp.max(val, axis=1)
