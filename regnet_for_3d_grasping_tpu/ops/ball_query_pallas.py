@@ -69,9 +69,11 @@ def _bq_kernel(r2: float, n_valid: int, L: int, x_ref, c_ref, idx_out,
         first_out[0, :] = first_acc[0, :]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnames=("radius", "num_neighbours",
+                                             "interpret"))
 def ball_query_pallas(xyz: jax.Array, centers: jax.Array, radius: float,
-                      num_neighbours: int) -> tuple[jax.Array, jax.Array]:
+                      num_neighbours: int,
+                      interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Bucketed ball query (see ops/ball_query.py) as a fused kernel.
 
     xyz [B, N, 3], centers [B, M, 3] -> (index [B, M, K], count [B, M]).
@@ -117,6 +119,7 @@ def ball_query_pallas(xyz: jax.Array, centers: jax.Array, radius: float,
         ],
         scratch_shapes=[pltpu.VMEM((1, _TM), jnp.int32),
                         pltpu.VMEM((1, _TM), jnp.int32)],
+        interpret=interpret,
     )(x, c)
 
     idx = jnp.swapaxes(idx, 1, 2)[:, :M]          # [B, M, K]

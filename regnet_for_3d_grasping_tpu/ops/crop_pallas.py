@@ -93,10 +93,12 @@ def _crop_kernel(box: tuple, n_valid: int, L: int, seed_ref,
         first_out[0, :] = first_acc[0, :]
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnames=("box", "gripper_num",
+                                             "interpret"))
 def closing_region_crop_pallas(
         xyz: jax.Array, frames: jax.Array, centers: jax.Array,
-        seed: jax.Array, box: tuple, gripper_num: int
+        seed: jax.Array, box: tuple, gripper_num: int,
+        interpret: bool = False
 ) -> tuple[jax.Array, jax.Array]:
     """Fused dense closing-region crop.
 
@@ -161,6 +163,7 @@ def closing_region_crop_pallas(
         ],
         scratch_shapes=[pltpu.VMEM((1, _TM), jnp.int32),
                         pltpu.VMEM((1, _TM), jnp.int32)],
+        interpret=interpret,
     )(seed, x, f, c)
 
     idx = jnp.swapaxes(idx, 1, 2)[:, :M]                      # [B, M, K]

@@ -113,9 +113,11 @@ def _fps_kernel_v2(num_samples: int, x_ref, y_ref, z_ref, dist_init_ref,
     lax.fori_loop(0, num_samples, body, start)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "version", "interpret"))
 def fps_pallas(xyz: jax.Array, dist_init: jax.Array,
-               num_samples: int, version: int = 1) -> jax.Array:
+               num_samples: int, version: int = 1,
+               interpret: bool = False) -> jax.Array:
     """Batched Pallas FPS.
 
     Args:
@@ -153,5 +155,6 @@ def fps_pallas(xyz: jax.Array, dist_init: jax.Array,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
         scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)],
+        interpret=interpret,
     )(*coords, dist2d)
     return out[:, 0, :]

@@ -83,9 +83,11 @@ def _group_kernel(r2: float, n_valid: int, L: int, seed_ref,
         first_out[0, :] = first_acc[0, :]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnames=("radius", "group_num",
+                                             "interpret"))
 def group_regions_pallas(xyz: jax.Array, centers: jax.Array,
-                         seed: jax.Array, radius: float, group_num: int
+                         seed: jax.Array, radius: float, group_num: int,
+                         interpret: bool = False
                          ) -> tuple[jax.Array, jax.Array]:
     """Fused radius grouping.
 
@@ -139,6 +141,7 @@ def group_regions_pallas(xyz: jax.Array, centers: jax.Array,
         ],
         scratch_shapes=[pltpu.VMEM((1, _TM), jnp.int32),
                         pltpu.VMEM((1, _TM), jnp.int32)],
+        interpret=interpret,
     )(seed, x, c)
 
     idx = jnp.swapaxes(idx, 1, 2)[:, :M]

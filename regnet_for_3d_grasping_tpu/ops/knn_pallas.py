@@ -81,8 +81,9 @@ def _knn_kernel(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
         i_out[:, 3] = jnp.zeros((i_out.shape[0],), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=())
-def three_nn_pallas(query: jax.Array, key: jax.Array
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def three_nn_pallas(query: jax.Array, key: jax.Array,
+                    interpret: bool = False
                     ) -> tuple[jax.Array, jax.Array]:
     """query [B, N1, 3], key [B, N2, 3] -> (idx [B, N1, 3], d2 [B, N1, 3]).
 
@@ -122,5 +123,6 @@ def three_nn_pallas(query: jax.Array, key: jax.Array
         ],
         scratch_shapes=[pltpu.VMEM((_TM, 4), jnp.float32),
                         pltpu.VMEM((_TM, 4), jnp.int32)],
+        interpret=interpret,
     )(q, k)
     return i_out[:, :N1, :3], d_out[:, :N1, :3]
