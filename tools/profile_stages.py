@@ -76,10 +76,15 @@ def main():
           lambda p, s: R.select_score_centers(
               p, s, cfg.region.center_num, cfg.region.score_thre),
           pc, score)
-    bench("two-scale grouping",
+    bench("two-scale grouping (train path)",
           lambda k, p, c: R.group_regions_two_scales(
               k, p, c, cfg.region.group_num, cfg.group_radius,
               cfg.region.group_num_more, cfg.group_radius_more),
+          key, pc, centers)
+    bench("single-scale grouping (model inference path)",
+          lambda k, p, c: R.group_regions(
+              k, p, c, cfg.region.group_num, cfg.group_radius,
+              with_points=False),
           key, pc, centers)
     groups, groups_more = R.group_regions_two_scales(
         key, pc, centers, cfg.region.group_num, cfg.group_radius,
@@ -87,11 +92,20 @@ def main():
     bench("region feature gather",
           lambda f, i: ops.group_points(f, i), feature, groups.index)
     grasp = jnp.zeros((1, args.centers, 8)).at[..., 4].set(1.0)
-    bench("closing-region crop",
+    bench("closing-region crop (wide-region variant)",
           lambda k, p, gi, g: R.closing_region_crop(
               k, p, gi, g, cfg.gripper, cfg.region.gripper_num,
               with_points=False),
           key, pc, groups_more.index, grasp)
+    # the model's actual refine path: dense crop + gripper feature gather
+    bench("closing-region crop (dense, model path)",
+          lambda k, p, g: R.closing_region_crop_dense(
+              k, p, g, cfg.gripper, cfg.region.gripper_num),
+          key, pc, grasp)
+    crop = R.closing_region_crop_dense(key, pc, grasp, cfg.gripper,
+                                       cfg.region.gripper_num)
+    bench("gripper feature gather",
+          lambda f, i: ops.group_points(f, i), feature, crop.index_in_all)
 
     model = REGNet(cfg, dtype=dtype)
     mv = jax.jit(lambda: model.init(
