@@ -137,6 +137,19 @@ def main():
                   cfg.region.group_num), seed, iters=it)
     print(f"   => pallas/xla = {b / a:.3f}x")
 
+    print("\n-- backbone ball query (SA1: M=5120, N=25600, K=64) --")
+    from regnet_for_3d_grasping_tpu import ops
+    from regnet_for_3d_grasping_tpu.ops.ball_query_pallas import (
+        ball_query_pallas)
+    sa_centers = xyz[:, :5120]
+    a = bench("XLA bucketed (ops.ball_query)",
+              lambda c: ops.ball_query(xyz, c, 0.02, 64),
+              sa_centers, iters=it)
+    b = bench("Pallas fused (ball_query_pallas)",
+              lambda c: ball_query_pallas(xyz, c, 0.02, 64),
+              sa_centers, iters=it)
+    print(f"   => pallas/xla = {b / a:.3f}x")
+
     print("\n-- FPS kernel version (N=%d -> S) --" % N)
     dist = jnp.full((1, N), 1e10, jnp.float32)
     for S in (5120, NC):
