@@ -56,7 +56,30 @@ def ball_query(
     if method == "exact":
         return _ball_query_exact(xyz, centers, radius, num_neighbours,
                                  chunk)
+    M, N = centers.shape[1], xyz.shape[1]
+    if _use_pallas_bq(M, N, num_neighbours):
+        from regnet_for_3d_grasping_tpu.ops.ball_query_pallas import (
+            ball_query_pallas)
+        return ball_query_pallas(xyz.astype(jnp.float32),
+                                 centers.astype(jnp.float32),
+                                 float(radius), num_neighbours)
     return _ball_query_bucket(xyz, centers, radius, num_neighbours, chunk)
+
+
+# Above this M*N work the fused Pallas kernel (ops/ball_query_pallas.py)
+# dispatches on TPU; None disables it (pending the on-chip A/B —
+# tools/ab_kernels.py).
+_PALLAS_BQ_THRESHOLD: int | None = None
+
+
+def _use_pallas_bq(m: int, n: int, k: int) -> bool:
+    if _PALLAS_BQ_THRESHOLD is None or m * n < _PALLAS_BQ_THRESHOLD \
+            or k % 8 != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _ball_query_bucket(xyz, centers, radius, K, chunk):
