@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import time
 
 import numpy as np
@@ -45,6 +46,17 @@ def build_parser():
                    help="run validation-epoch forwards at this center_num "
                         "(e.g. 4000 = the inference preset) instead of the "
                         "training value, to measure calibration drift")
+    p.add_argument("--load-score-path", type=str, default="",
+                   help="checkpoint tag dir (or .../ckpt_N) whose "
+                        "pretrained ScoreNet weights initialize this run "
+                        "(reference --load-score-path, utils.py:59-78)")
+    p.add_argument("--load-region-path", type=str, default="",
+                   help="checkpoint tag dir (or .../ckpt_N) whose "
+                        "GRN/RefineNet weights initialize this run "
+                        "(reference --load-region-path, utils.py:80-115; "
+                        "like the reference, optimizer state starts "
+                        "fresh — pair with --resume to also restore the "
+                        "epoch counter from this run's own tag)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint under "
                         "model-path/tag")
@@ -72,6 +84,37 @@ def build_parser():
                         "first epoch (replaces the reference's ad-hoc "
                         "time.time() prints, train.py:372-382)")
     return p
+
+
+def merge_checkpoint_subtrees(state, path, keys):
+    """Initialize the named top-level param/batch_stats subtrees from
+    another run's checkpoint — the reference's partial construct_net
+    loads (--load-score-path / --load-region-path, utils.py:59-115;
+    a region checkpoint may predate the refine heads, so missing
+    subtrees are simply kept at their fresh init, like the reference's
+    state_dict merge at utils.py:81-88).  Optimizer state stays fresh;
+    the reference never saves it either.
+
+    `path` is a checkpoint tag dir (latest epoch) or `.../ckpt_N`.
+    """
+    from regnet_for_3d_grasping_tpu.utils import checkpoint as ckpt
+
+    base = path.rstrip("/")
+    epoch = None
+    m = re.fullmatch(r"ckpt_(\d+)", os.path.basename(base))
+    if m:
+        epoch, base = int(m.group(1)), os.path.dirname(base)
+    restored, from_ep = ckpt.restore_checkpoint(
+        base, epoch=epoch, target=state._asdict())
+    params = dict(state.params)
+    bstats = dict(state.batch_stats)
+    for k in keys:
+        if k in restored["params"]:
+            params[k] = restored["params"][k]
+        if k in restored["batch_stats"]:
+            bstats[k] = restored["batch_stats"][k]
+    print(f"loaded {keys} from {base} (epoch {from_ep - 1})")
+    return state._replace(params=params, batch_stats=bstats)
 
 
 MODE_STAGE = {
@@ -168,6 +211,13 @@ def main(argv=None):
                                            resume_epoch)
         state = trainer.TrainState(**restored)
         print(f"resumed from epoch {resume_epoch - 1}")
+
+    if args.load_score_path:
+        state = merge_checkpoint_subtrees(state, args.load_score_path,
+                                          ["score_net"])
+    if args.load_region_path:
+        state = merge_checkpoint_subtrees(state, args.load_region_path,
+                                          ["grn_head", "refine_head"])
 
     import dataclasses as _dc
 

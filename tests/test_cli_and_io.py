@@ -59,6 +59,70 @@ class TestTrainCLI:
         assert "validate_score" in log
 
 
+class TestStagedLoading:
+    def test_merge_checkpoint_subtrees(self, tmp_path):
+        """--load-score-path / --load-region-path semantics: named
+        subtrees come from the donor checkpoint, everything else (and
+        the optimizer state) stays fresh (reference utils.py:59-115)."""
+        import jax.numpy as jnp
+        from regnet_for_3d_grasping_tpu.cli.train import (
+            merge_checkpoint_subtrees)
+        from regnet_for_3d_grasping_tpu.train.trainer import TrainState
+        from regnet_for_3d_grasping_tpu.utils import checkpoint as ckpt
+
+        def mk(v):
+            return TrainState(
+                params={"score_net": {"w": jnp.full((2,), v)},
+                        "grn_head": {"w": jnp.full((2,), v + 1)},
+                        "refine_head": {"w": jnp.full((2,), v + 2)}},
+                batch_stats={"score_net": {"m": jnp.full((2,), v)}},
+                opt_state={"mu": jnp.full((2,), v)},
+                step=jnp.zeros((), jnp.int32))
+
+        donor_dir = str(tmp_path / "donor")
+        ckpt.save_checkpoint(donor_dir, 3, mk(10.0)._asdict())
+
+        fresh = mk(0.0)
+        merged = merge_checkpoint_subtrees(fresh, donor_dir,
+                                           ["score_net"])
+        assert float(merged.params["score_net"]["w"][0]) == 10.0
+        assert float(merged.batch_stats["score_net"]["m"][0]) == 10.0
+        assert float(merged.params["grn_head"]["w"][0]) == 1.0   # fresh
+        assert float(merged.opt_state["mu"][0]) == 0.0           # fresh
+
+        # explicit ckpt_N path addressing
+        merged2 = merge_checkpoint_subtrees(
+            fresh, os.path.join(donor_dir, "ckpt_3"),
+            ["grn_head", "refine_head"])
+        assert float(merged2.params["grn_head"]["w"][0]) == 11.0
+        assert float(merged2.params["score_net"]["w"][0]) == 0.0
+
+    def test_staged_pretrain_to_full_train(self, tmp_path):
+        """The reference's staged workflow: pretrain_score, then full
+        train initialized from it via --load-score-path."""
+        data = str(tmp_path / "data")
+        r = run_cli(["regnet_for_3d_grasping_tpu.cli.train",
+                     "--mode", "pretrain_score", "--tiny",
+                     "--data-path", data, "--synthetic-scenes", "6",
+                     "--epoch", "1", "--batch-size", "2",
+                     "--model-path", str(tmp_path / "models"),
+                     "--log-path", str(tmp_path / "log"),
+                     "--tag", "stage1"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        r2 = run_cli(["regnet_for_3d_grasping_tpu.cli.train",
+                      "--mode", "train", "--tiny",
+                      "--data-path", data,
+                      "--epoch", "1", "--batch-size", "2",
+                      "--load-score-path",
+                      str(tmp_path / "models" / "stage1"),
+                      "--model-path", str(tmp_path / "models"),
+                      "--log-path", str(tmp_path / "log"),
+                      "--tag", "full"])
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "loaded ['score_net'] from" in r2.stdout
+        assert "epoch 0: mean loss" in r2.stdout
+
+
 class TestPCD:
     def test_ascii_roundtrip(self, tmp_path, rng):
         pts = rng.rand(50, 3).astype(np.float32)
