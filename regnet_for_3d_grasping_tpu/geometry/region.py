@@ -230,8 +230,14 @@ def closing_region_crop(key: jax.Array, pc: jax.Array,
 
 # Above this M*N work the fused Pallas crop/group kernels
 # (ops/crop_pallas.py, ops/group_pallas.py) dispatch on TPU; None
-# disables them (pending on-chip A/B).
-_PALLAS_CROP_THRESHOLD: int | None = None
+# disables them.  Set from tools/ab_kernels.py on the v5e chip
+# (2026-08-16): crop Pallas wins 2.0-2.5x at NC*N >= 26M (NC=1024:
+# 2.50 vs 5.13 ms; NC=4000: 6.34 vs 15.78 ms) and ties at 6.5M
+# (NC=256: 2.17 vs 2.02 ms) -> gate at 16M.  The group kernel LOSES
+# at every shape (NC=4000: 6.97 vs 4.32 ms; NC=1024: 2.69 vs 1.76 ms
+# — the [NC, K=256] bucket pick doesn't amortize the extra VMEM
+# traffic the fused kernel pays), so it stays off.
+_PALLAS_CROP_THRESHOLD: int | None = 1 << 24
 _PALLAS_GROUP_THRESHOLD: int | None = None
 
 

@@ -67,9 +67,12 @@ def ball_query(
 
 
 # Above this M*N work the fused Pallas kernel (ops/ball_query_pallas.py)
-# dispatches on TPU; None disables it (pending the on-chip A/B —
-# tools/ab_kernels.py).
-_PALLAS_BQ_THRESHOLD: int | None = None
+# dispatches on TPU.  Set from tools/ab_kernels.py on the v5e chip
+# (2026-08-16): at the SA1 shape (M=5120, N=25600, 131M) Pallas wins
+# 1.7x (4.43 vs 7.74 ms); at SA2 (M=1024, N=5120, 5.2M) it loses
+# (3.32 vs 2.79 ms) — the fused kernel's fixed VMEM-fill cost only
+# amortizes on big tiles -> gate at 32M.
+_PALLAS_BQ_THRESHOLD: int | None = 1 << 25
 
 
 def _use_pallas_bq(m: int, n: int, k: int) -> bool:
