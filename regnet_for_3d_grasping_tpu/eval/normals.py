@@ -6,12 +6,23 @@ max_nn=30) PCA normals oriented toward the camera).  open3d is not in this
 image, and a host KD-tree round-trip per scene would serialize the
 evaluator anyway — so normals are computed on-device:
 
-  hybrid k-NN  -> chunked top-k (<=30 neighbours, masked beyond the radius)
+  neighbourhood -> masked second moments: the in-radius mask [chunk, N]
+                  is contracted against precomputed per-point moment rows
+                  [N, 9] on the MXU, so the covariance of every in-radius
+                  neighbour is accumulated with NO top-k and NO gather
+                  (method="moment", default).  method="knn" keeps the
+                  reference's hybrid <=30-nearest-in-radius neighbourhood
+                  (chunked lax.top_k) for open3d-exact parity checks.
   PCA          -> analytic smallest eigenvector of the 3x3 covariance
                   (trigonometric eigenvalues + cross-product nullspace;
                   no jnp.linalg.eigh, which lowers poorly for tiny batched
                   matrices on TPU)
   orientation  -> flip toward the camera position
+
+For PCA normals the moment path is a strict superset neighbourhood (all
+in-radius points instead of the 30 nearest); open3d's max_nn cap is a
+KD-tree speed knob, not an estimator choice, and with r=1cm scene clouds
+average well under 30 in-radius neighbours anyway.
 """
 
 from __future__ import annotations
@@ -57,7 +68,8 @@ def smallest_eigvec_3x3(A: jax.Array) -> jax.Array:
 
 def estimate_normals(points: jax.Array, camera_pos: jax.Array,
                      radius: float = 0.01, max_nn: int = 30,
-                     chunk: int = 4096) -> jax.Array:
+                     chunk: int = 4096,
+                     method: str = "moment") -> jax.Array:
     """[N, 3] points -> [N, 3] unit normals oriented toward `camera_pos`."""
     points = points.astype(jnp.float32)
     N = points.shape[0]
@@ -69,7 +81,33 @@ def estimate_normals(points: jax.Array, camera_pos: jax.Array,
     n_chunks = padded.shape[0] // chunk
     q_chunks = padded.reshape(n_chunks, chunk, 3)
 
-    def per_chunk(q):
+    # Center the cloud so the E[ppT] - mu muT cancellation happens on O(r)
+    # magnitudes instead of O(scene) ones (the surviving sums only hold
+    # ~count<=O(10^2) in-radius terms, so f32 accumulation is exact enough).
+    centroid = jnp.mean(points, axis=0)
+    pts_c = points - centroid
+    x, y, z = pts_c[:, 0], pts_c[:, 1], pts_c[:, 2]
+    # per-point moment rows: [N, 9] = (x, y, z, xx, yy, zz, xy, xz, yz)
+    mom = jnp.stack([x, y, z, x * x, y * y, z * z,
+                     x * y, x * z, y * z], axis=1)
+
+    def per_chunk_moment(q):
+        d2 = bpdist2(q[None], points[None])[0]          # [chunk, N]
+        w = (d2 <= r2).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        s = jnp.matmul(w, mom,
+                       precision=lax.Precision.HIGHEST) / cnt[:, None]
+        m1, m2 = s[:, :3], s[:, 3:]
+        xx, yy, zz, xy, xz, yz = (m2[:, 0], m2[:, 1], m2[:, 2],
+                                  m2[:, 3], m2[:, 4], m2[:, 5])
+        cov = jnp.stack([
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1)], axis=-2)
+        cov = cov - m1[:, :, None] * m1[:, None, :]
+        return smallest_eigvec_3x3(cov)
+
+    def per_chunk_knn(q):
         d2 = bpdist2(q[None], points[None])[0]          # [chunk, N]
         neg, idx = lax.top_k(-d2, max_nn)
         d2k = -neg                                      # ascending
@@ -83,6 +121,7 @@ def estimate_normals(points: jax.Array, camera_pos: jax.Array,
                          precision=lax.Precision.HIGHEST) / cnt[..., None]
         return smallest_eigvec_3x3(cov)
 
+    per_chunk = per_chunk_moment if method == "moment" else per_chunk_knn
     normals = lax.map(per_chunk, q_chunks).reshape(-1, 3)[:N]
 
     to_cam = camera_pos[None, :] - points

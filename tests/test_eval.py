@@ -59,6 +59,23 @@ class TestNormals:
         dots = np.abs(np.sum(n * v, axis=-1))
         assert np.median(dots) > 0.95
 
+    def test_moment_matches_knn_path(self, rng):
+        # A noisy tilted plane, offset far from the origin so the moment
+        # path's E[ppT]-mu muT cancellation is stressed; the two
+        # neighbourhood definitions (all-in-radius vs 30-nearest-in-radius)
+        # coincide when counts stay under max_nn.
+        u = rng.rand(600, 2).astype(np.float32) * 0.1
+        pts = np.c_[u, (0.3 * u[:, 0] + 0.1 * u[:, 1]
+                        + rng.randn(600).astype(np.float32) * 1e-4)]
+        pts += np.array([0.4, -0.3, 0.8], np.float32)
+        cam = np.array([0, 0, 10.0], np.float32)
+        a = np.asarray(estimate_normals(jnp.asarray(pts), jnp.asarray(cam),
+                                        method="moment"))
+        b = np.asarray(estimate_normals(jnp.asarray(pts), jnp.asarray(cam),
+                                        method="knn"))
+        dots = np.abs(np.sum(a * b, axis=-1))
+        assert np.median(dots) > 0.99
+
 
 def _world_points(local, center=np.array([0., 0., 1.0])):
     """Identity-frame grasp at `center`: world = local + center."""
