@@ -37,6 +37,11 @@ def build_parser():
     p.add_argument("--no-eval", action="store_true",
                    help="skip the collision filter (raw grasp sets)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel serving: one cloud per device over "
+                        "a 1-D mesh (parallel/infer.py); throughput "
+                        "scales linearly — the per-cloud cascade needs no "
+                        "cross-chip collectives")
     p.add_argument("--accept-margin", type=float, default=0.0,
                    help="refine-classifier acceptance margin "
                         "(logit[valid]-logit[invalid] > margin; 0 = the "
@@ -115,14 +120,27 @@ def main(argv=None):
     if not paths:
         raise SystemExit(f"no input clouds under {args.folder_name!r}")
 
-    variables = None
-    fwd = jax.jit(lambda v, x, k: model.apply(
-        v, x, train=False, rngs={"sampling": k}))
+    if args.dp:
+        from regnet_for_3d_grasping_tpu.parallel.infer import (
+            make_dp_inference)
+        from regnet_for_3d_grasping_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        group = mesh.devices.size
+        fwd = make_dp_inference(model, mesh)
+        print(f"data-parallel serving over {group} device(s)")
+    else:
+        group = 1
+        fwd = jax.jit(lambda v, x, k: model.apply(
+            v, x, train=False, rngs={"sampling": k}))
 
-    for pc_path in paths:
-        pc, pc_back, color_back, real = load_cloud(
-            pc_path, args.all_points_num, rng)
-        x = jnp.asarray(pc)[None]
+    variables = None
+    for start in range(0, len(paths), group):
+        chunk = paths[start:start + group]
+        loaded = [load_cloud(p, args.all_points_num, rng) for p in chunk]
+        x = jnp.asarray(np.stack([l[0] for l in loaded]))
+        if len(chunk) < group:     # pad the final partial batch
+            x = jnp.concatenate(
+                [x, jnp.tile(x[:1], (group - len(chunk), 1, 1))])
 
         if variables is None:
             variables = jax.jit(lambda: model.init(
@@ -142,31 +160,43 @@ def main(argv=None):
         out = jax.block_until_ready(
             fwd(variables, x, jax.random.PRNGKey(args.seed)))
         t1 = time.time()
-        sets = extract_grasp_sets(out)[0]
-        print(f"{pc_path}: forward {t1 - t0:.3f}s, "
-              f"{len(sets['grasp_stage2'])} stage2 / "
-              f"{len(sets['grasp_stage3'])} stage3 grasps")
+        all_sets = extract_grasp_sets(out)
 
-        if not args.no_eval:
-            g = cfg.gripper
-            for key in list(sets):
-                sets[key] = eval_test(
-                    pc_back, sets[key], None, g.table_height, g.depth,
-                    g.width, g, cfg.eval)
+        for i, (pc_path, (pc, pc_back, color_back, real)) in enumerate(
+                zip(chunk, loaded)):
+            sets = all_sets[i]
+            print(f"{pc_path}: forward {t1 - t0:.3f}s"
+                  f"{f' ({len(chunk)} clouds)' if group > 1 else ''}, "
+                  f"{len(sets['grasp_stage2'])} stage2 / "
+                  f"{len(sets['grasp_stage3'])} stage3 grasps")
+            _write_prediction(args, cfg, out, i, pc_path, sets,
+                              pc_back, color_back, real)
 
-        out_path = pc_path.replace("_data", "_data_predict")
-        if real:
-            out_path = out_path.replace(".pcd", ".p")
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        output = {
-            "points": pc_back,
-            "colors": color_back,
-            "scores": np.asarray(out.score[0]).reshape(-1, 1),
-            **{k: np.asarray(v, np.float32) for k, v in sets.items()},
-        }
-        with open(out_path, "wb") as f:
-            pickle.dump(output, f)
-        print(f"  -> {out_path}")
+
+def _write_prediction(args, cfg, out, i, pc_path, sets,
+                      pc_back, color_back, real):
+    from regnet_for_3d_grasping_tpu.eval.evaluator import eval_test
+
+    if not args.no_eval:
+        g = cfg.gripper
+        for key in list(sets):
+            sets[key] = eval_test(
+                pc_back, sets[key], None, g.table_height, g.depth,
+                g.width, g, cfg.eval)
+
+    out_path = pc_path.replace("_data", "_data_predict")
+    if real:
+        out_path = out_path.replace(".pcd", ".p")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    output = {
+        "points": pc_back,
+        "colors": color_back,
+        "scores": np.asarray(out.score[i]).reshape(-1, 1),
+        **{k: np.asarray(v, np.float32) for k, v in sets.items()},
+    }
+    with open(out_path, "wb") as f:
+        pickle.dump(output, f)
+    print(f"  -> {out_path}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,50 @@
+"""Data-parallel inference over a device mesh.
+
+The reference serves inference strictly one cloud / one GPU
+(test.py:61-148).  On TPU the cascade is latency-bound per cloud on a
+single core (batched inference on ONE chip measured no gain —
+docs/ROADMAP.md), so the way to scale serving throughput is one cloud
+per chip: shard the batch axis of the already-batched forward over a
+1-D ``data`` mesh, replicate the parameters, and let GSPMD partition
+the whole program — every stage of the cascade is per-cloud geometry,
+so no cross-chip collective is emitted at all and throughput scales
+linearly over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from regnet_for_3d_grasping_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated_sharding,
+)
+
+
+def make_dp_inference(model, mesh, axis_name: str = "data",
+                      with_refine: bool = True):
+    """Jitted ``(variables, pc[B,N,6], key) -> REGNetOutput`` with the
+    batch sharded over ``mesh`` and parameters replicated.
+
+    ``B`` must be a multiple of the mesh size; pad the final partial
+    batch with any cloud and drop the extra outputs (they're per-cloud
+    independent, so padding never perturbs real results).
+    """
+    bsh = batch_sharding(mesh, axis_name)
+    rep = replicated_sharding(mesh)
+
+    @jax.jit
+    def fwd(variables, pc, key):
+        pc = jax.lax.with_sharding_constraint(pc, bsh)
+        out = model.apply(variables, pc, train=False,
+                          with_refine=with_refine,
+                          rngs={"sampling": key})
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, bsh), out)
+
+    def run(variables, pc, key):
+        variables = jax.device_put(variables, rep)
+        pc = jax.device_put(pc, bsh)
+        return fwd(variables, pc, key)
+
+    return run
