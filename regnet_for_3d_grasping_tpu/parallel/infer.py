@@ -14,6 +14,8 @@ linearly over ICI.
 from __future__ import annotations
 
 import jax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from regnet_for_3d_grasping_tpu.parallel.mesh import (
     batch_sharding,
@@ -26,6 +28,12 @@ def make_dp_inference(model, mesh, axis_name: str = "data",
     """Jitted ``(variables, pc[B,N,6], key) -> REGNetOutput`` with the
     batch sharded over ``mesh`` and parameters replicated.
 
+    ``shard_map`` (same pattern as train/trainer.py) rather than bare
+    GSPMD sharding constraints: each device traces the full per-shard
+    cascade locally, so the gated Pallas kernels (ops/*_pallas.py) see
+    ordinary local shapes instead of relying on the SPMD partitioner to
+    split a Mosaic custom call.
+
     ``B`` must be a multiple of the mesh size; pad the final partial
     batch with any cloud and drop the extra outputs (they're per-cloud
     independent, so padding never perturbs real results).
@@ -33,14 +41,15 @@ def make_dp_inference(model, mesh, axis_name: str = "data",
     bsh = batch_sharding(mesh, axis_name)
     rep = replicated_sharding(mesh)
 
-    @jax.jit
-    def fwd(variables, pc, key):
-        pc = jax.lax.with_sharding_constraint(pc, bsh)
-        out = model.apply(variables, pc, train=False,
-                          with_refine=with_refine,
-                          rngs={"sampling": key})
-        return jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, bsh), out)
+    def body(variables, pc, key):
+        return model.apply(variables, pc, train=False,
+                           with_refine=with_refine,
+                           rngs={"sampling": key})
+
+    fwd = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=P(axis_name)))
 
     def run(variables, pc, key):
         variables = jax.device_put(variables, rep)
