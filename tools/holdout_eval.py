@@ -39,6 +39,16 @@ def main():
     p.add_argument("--accept-margin", type=float, default=0.0)
     p.add_argument("--stage", type=str, default="stage3_score",
                    choices=["stage2", "stage3", "stage3_score"])
+    p.add_argument("--num-objects", type=int, default=0,
+                   help="objects per held-out scene (0 = generator "
+                        "default 4-8, the round-2 clutter level; 2-3 "
+                        "matches round-1's sparse scenes)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="rank accepted grasps by predicted score and "
+                        "evaluate only the K best per scene — the "
+                        "serving metric (a robot executes its best "
+                        "grasps, reference vis highlights the top one); "
+                        "0 = all accepted grasps (reference VGR parity)")
     p.add_argument("--bf16", action="store_true",
                    help="run the cascade in bfloat16 compute (quality "
                         "check for the fast inference path)")
@@ -82,6 +92,7 @@ def main():
     for i in range(args.scenes):
         seed = args.scene_seed0 + i
         s = make_synthetic_scene(seed, num_view=cfg.region.num_points,
+                                 num_objects=args.num_objects or None,
                                  view_index=i % 4)
         pc = np.c_[s["view_cloud"], s["view_cloud_color"]].astype(
             np.float32)[None]
@@ -104,6 +115,9 @@ def main():
         for si, (seed, view, s, pc) in enumerate(scenes):
             out = fwd(variables, pc, jax.random.PRNGKey(1000 + si))
             grasps = extract_grasp_sets(out)[0][stage_key]
+            if args.top_k and len(grasps):
+                order = np.argsort(-np.asarray(grasps)[:, 7])
+                grasps = np.asarray(grasps)[order[:args.top_k]]
             if len(grasps) == 0:
                 vgrs.append(0.0)
                 antis.append(0.0)
