@@ -41,7 +41,12 @@ def main():
     from regnet_for_3d_grasping_tpu.utils.config import infer_config
 
     cfg = infer_config()
-    model = REGNet(cfg)
+    # The serving configuration: bf16 network compute with all geometry
+    # pinned to f32 Precision.HIGHEST (ops/distances.py et al).  Quality
+    # is verified neutral vs f32 on held-out scenes (VGR 0.892 vs 0.897,
+    # docs/evidence/TRAINING.md); f32 end-to-end measures ~5% slower
+    # (tools/profile_stages.py vs --bf16).
+    model = REGNet(cfg, dtype=jnp.bfloat16)
 
     scene = make_synthetic_scene(0, num_view=cfg.region.num_points)
     pc = np.c_[scene["view_cloud"],
