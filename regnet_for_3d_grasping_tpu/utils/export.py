@@ -56,3 +56,41 @@ def extract_grasp_sets(out: REGNetOutput,
             "grasp_stage3_score": final[b][m3s],
         })
     return sets
+
+
+def select_diverse_grasps(grasps: np.ndarray, k: int,
+                          min_center_dist: float = 0.03) -> np.ndarray:
+    """Score-ordered spatial NMS: the K best mutually-separated grasps.
+
+    A serving-side selector (host numpy, not jitted — it runs on <=4k
+    already-accepted grasps).  The reference ships every accepted grasp
+    and its vis highlights only the single best (vis_grasp.py); a robot
+    planner wants a short list of *diverse* candidates — naive top-K by
+    score concentrates near-duplicate grasps on one object patch, so one
+    occluded obstacle can fail the entire list (measured:
+    docs/evidence/TRAINING.md).  Greedy suppression by grasp-center
+    distance keeps one grasp per `min_center_dist` neighbourhood.
+
+    Args:
+      grasps: [G, 8] (center[3], axis_y[3], theta, score) rows.
+      k: max grasps to keep.
+      min_center_dist: suppression radius in meters (~gripper half-width
+        default).
+
+    Returns:
+      [<=K, 8] selected rows, best score first.
+    """
+    if len(grasps) == 0 or k <= 0:
+        return grasps[:0]
+    g = np.asarray(grasps)
+    order = np.argsort(-g[:, 7])
+    kept: list[int] = []
+    centers = g[order, :3]
+    for i in range(len(order)):
+        c = centers[i]
+        if all(np.dot(c - centers[j], c - centers[j])
+               >= min_center_dist * min_center_dist for j in kept):
+            kept.append(i)
+            if len(kept) == k:
+                break
+    return g[order[kept]]

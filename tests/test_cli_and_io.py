@@ -226,3 +226,35 @@ class TestExport:
         np.testing.assert_array_equal(
             np.asarray(sets["grasp_stage3_stage2"]),
             np.asarray(sets["grasp_stage3"]) - 100)
+
+
+class TestDiverseSelection:
+    def test_select_diverse_grasps(self):
+        from regnet_for_3d_grasping_tpu.utils.export import (
+            select_diverse_grasps)
+        rng = np.random.RandomState(0)
+        # 50 near-duplicates at one spot (high score) + 5 spread out
+        dup = np.zeros((50, 8), np.float32)
+        dup[:, :3] = 0.001 * rng.randn(50, 3)
+        dup[:, 7] = 0.9 + 0.01 * rng.rand(50)
+        spread = np.zeros((5, 8), np.float32)
+        spread[:, 0] = np.arange(1, 6) * 0.1
+        spread[:, 7] = 0.5
+        sel = select_diverse_grasps(np.r_[dup, spread], 6,
+                                    min_center_dist=0.03)
+        # one grasp from the duplicate cluster, then the spread ones
+        assert len(sel) == 6
+        assert sel[0, 7] >= 0.9
+        assert (sel[1:, 7] == 0.5).all()
+        # scores descending, all pairwise centers >= min dist
+        assert (np.diff(sel[:, 7]) <= 0).all()
+        d = np.linalg.norm(sel[:, None, :3] - sel[None, :, :3], axis=-1)
+        assert (d[np.triu_indices(6, 1)] >= 0.03).all()
+
+    def test_select_diverse_empty_and_k0(self):
+        from regnet_for_3d_grasping_tpu.utils.export import (
+            select_diverse_grasps)
+        g = np.zeros((0, 8), np.float32)
+        assert len(select_diverse_grasps(g, 5)) == 0
+        g2 = np.zeros((3, 8), np.float32)
+        assert len(select_diverse_grasps(g2, 0)) == 0

@@ -49,6 +49,10 @@ def main():
                         "serving metric (a robot executes its best "
                         "grasps, reference vis highlights the top one); "
                         "0 = all accepted grasps (reference VGR parity)")
+    p.add_argument("--diverse", action="store_true",
+                   help="with --top-k: spatial-NMS diverse selection "
+                        "(utils/export.select_diverse_grasps) instead of "
+                        "naive score order")
     p.add_argument("--bf16", action="store_true",
                    help="run the cascade in bfloat16 compute (quality "
                         "check for the fast inference path)")
@@ -116,8 +120,14 @@ def main():
             out = fwd(variables, pc, jax.random.PRNGKey(1000 + si))
             grasps = extract_grasp_sets(out)[0][stage_key]
             if args.top_k and len(grasps):
-                order = np.argsort(-np.asarray(grasps)[:, 7])
-                grasps = np.asarray(grasps)[order[:args.top_k]]
+                if args.diverse:
+                    from regnet_for_3d_grasping_tpu.utils.export import (
+                        select_diverse_grasps)
+                    grasps = select_diverse_grasps(
+                        np.asarray(grasps), args.top_k)
+                else:
+                    order = np.argsort(-np.asarray(grasps)[:, 7])
+                    grasps = np.asarray(grasps)[order[:args.top_k]]
             if len(grasps) == 0:
                 vgrs.append(0.0)
                 antis.append(0.0)
