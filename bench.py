@@ -24,8 +24,8 @@ import time
 import numpy as np
 
 REF_CLOUDS_PER_SEC = 1.0   # documented estimate, see module docstring
-WARMUP = 2
-ITERS = 10
+WARMUP = 3
+ITERS = 40   # amortize axon-relay dispatch jitter (10 iters showed +/-3%)
 
 
 def main():
