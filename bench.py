@@ -72,19 +72,41 @@ def main():
     clouds_per_sec = ITERS / dt
     print(json.dumps({
         "metric": "clouds/sec end-to-end SN->GRN->RN inference @25.6k pts "
-                  "(center_num=4000)",
+                  "(center_num=4000, bf16 serving config)",
         "value": round(clouds_per_sec, 4),
         "unit": "clouds/sec",
+        "dtype": "bf16",
         "vs_baseline": round(clouds_per_sec / REF_CLOUDS_PER_SEC, 4),
     }))
 
 
-if __name__ == "__main__":
+def _is_transient(exc: BaseException) -> bool:
+    """Only relay/remote-compile hiccups are retryable — a genuine model
+    failure (shape error, assertion, NaN guard) must fail the bench run.
+
+    The axon relay surfaces transport problems as XlaRuntimeError /
+    connection-level OSErrors; Python-level model bugs surface as
+    ValueError/TypeError/AssertionError and propagate.
+    """
+    transient_types = (ConnectionError, TimeoutError, OSError)
+    if isinstance(exc, transient_types):
+        return True
+    name = type(exc).__name__
+    return name in ("XlaRuntimeError", "RpcError", "_InactiveRpcError")
+
+
+def run(fn=main):
     try:
-        main()
-    except Exception:
-        # transient remote-compile/relay hiccups happen under contention;
+        fn()
+    except Exception as e:
+        if not _is_transient(e):
+            raise
+        # transient remote-compile/relay hiccup under helper contention;
         # one retry keeps the driver's bench record intact
         import traceback
         traceback.print_exc()
-        main()
+        fn()
+
+
+if __name__ == "__main__":
+    run()

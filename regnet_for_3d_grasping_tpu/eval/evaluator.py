@@ -116,9 +116,14 @@ def eval_validate(data: dict, grasps: np.ndarray, view_num: int,
     if "scene_normal" in data:
         scene_n = jnp.asarray(np.asarray(data["scene_normal"], np.float32))
     else:
+        # method="moment" is the evaluator's documented speed choice
+        # (all-in-radius PCA instead of open3d's 30-NN cap; sub-0.5%
+        # metric effect — eval/normals.py docstring).  Frozen-suite
+        # metrics (tools/holdout_eval.py) are pinned to this setting.
         scene_n = estimate_normals(jnp.asarray(scene_pts),
                                    jnp.asarray(_camera_for_view(view_num)),
-                                   cfg.normal_radius, cfg.normal_max_nn)
+                                   cfg.normal_radius, cfg.normal_max_nn,
+                                   method="moment")
     scene_ok, antipodal = check_grasps_scene(
         jnp.asarray(scene_pts), scene_n, g, depth, gripper, cfg)
 

@@ -23,7 +23,7 @@ from regnet_for_3d_grasping_tpu.ops.grouping import (
     group_points,
 )
 from regnet_for_3d_grasping_tpu.ops.knn import three_nn, three_interpolate
-from regnet_for_3d_grasping_tpu.ops.distances import bpdist2, pdist2
+from regnet_for_3d_grasping_tpu.ops.distances import bpdist, bpdist2, pdist2
 from regnet_for_3d_grasping_tpu.ops.sampling import (
     bucket_choice,
     masked_random_choice,
@@ -36,6 +36,7 @@ __all__ = [
     "group_points",
     "three_nn",
     "three_interpolate",
+    "bpdist",
     "bpdist2",
     "pdist2",
     "bucket_choice",

@@ -17,6 +17,26 @@ from jax import lax
 _PRECISION = lax.Precision.HIGHEST
 
 
+def bpdist(a: jax.Array) -> jax.Array:
+    """Batched self pairwise squared distances.
+
+    Single-tensor variant of `bpdist2` (reference ``nn/functional.py:9-26``
+    — its baddbmm(alpha=-2) trick is the same -2ab + a^2 + b^2 expansion,
+    sharing one square-sum for both operands).  Channels-last:
+
+    Args:
+      a: [..., N, C].
+    Returns:
+      [..., N, N] squared euclidean distances (clamped at 0; the reference
+      leaves tiny negative diagonals from cancellation, we clamp like the
+      siblings do).
+    """
+    cross = jnp.einsum("...ic,...jc->...ij", a, a, precision=_PRECISION)
+    a2 = jnp.sum(jnp.square(a), axis=-1)
+    return jnp.maximum(a2[..., :, None] - 2.0 * cross + a2[..., None, :],
+                       0.0)
+
+
 def pdist2(a: jax.Array, b: jax.Array) -> jax.Array:
     """Squared distances between two point sets.
 

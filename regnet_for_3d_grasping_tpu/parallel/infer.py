@@ -37,11 +37,22 @@ def make_dp_inference(model, mesh, axis_name: str = "data",
     ``B`` must be a multiple of the mesh size; pad the final partial
     batch with any cloud and drop the extra outputs (they're per-cloud
     independent, so padding never perturbs real results).
+
+    The sampling key is decorrelated per shard by folding in the device's
+    ``axis_index`` (same as train/trainer.py:108-115) — a replicated key
+    would reuse the batch-position-0 noise stream on every device, since
+    the selection noise (ops/sampling.hash_uniform) is a linear iota over
+    the *local* batch shape.  Shard ``i`` therefore reproduces exactly the
+    single-cloud run ``model.apply(..., pc[i:i+1],
+    rngs={"sampling": fold_in(key, i)})`` — per-cloud equivalence, not
+    bit-equality with a monolithic batched run (whose noise stream couples
+    batch positions).
     """
     bsh = batch_sharding(mesh, axis_name)
     rep = replicated_sharding(mesh)
 
     def body(variables, pc, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         return model.apply(variables, pc, train=False,
                            with_refine=with_refine,
                            rngs={"sampling": key})

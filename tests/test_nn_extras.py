@@ -148,3 +148,80 @@ class TestEdgeVariants:
         g = jax.grad(loss)(v["params"])
         assert float(jnp.abs(
             g["mlp"]["layer0"]["dense"]["kernel"]).sum()) > 0
+
+
+class TestBpdist:
+    def test_bpdist_matches_bpdist2_self(self, rng):
+        from regnet_for_3d_grasping_tpu.ops.distances import bpdist, bpdist2
+        a = jnp.asarray(rng.randn(2, 17, 3).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(bpdist(a)),
+                                   np.asarray(bpdist2(a, a)),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bpdist_values(self):
+        from regnet_for_3d_grasping_tpu.ops.distances import bpdist
+        a = jnp.asarray([[[0.0, 0.0], [3.0, 4.0]]])
+        d = np.asarray(bpdist(a))
+        np.testing.assert_allclose(d, [[[0.0, 25.0], [25.0, 0.0]]],
+                                   atol=1e-6)
+
+
+class TestFrozenBN:
+    """Per-module BN-stat freezing (reference nn/freezer.py:96-113)."""
+
+    def _model(self):
+        from flax import linen as nn
+
+        from regnet_for_3d_grasping_tpu.nn.layers import ConvBN
+
+        class TwoBlocks(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                a = ConvBN(4, name="block_a")(x, train=train)
+                b = ConvBN(4, name="block_b")(x, train=train)
+                return a + b
+
+        return TwoBlocks()
+
+    def test_matched_bn_uses_running_stats_and_stops_updating(self, rng):
+        from regnet_for_3d_grasping_tpu.nn.freezer import apply_with_frozen_bn
+
+        m = self._model()
+        x = jnp.asarray(rng.randn(8, 3).astype(np.float32) * 3 + 1)
+        variables = m.init(jax.random.PRNGKey(0), x)
+
+        out, mut = apply_with_frozen_bn(
+            m, variables, x, train=True, mutable=["batch_stats"],
+            bn_freeze_patterns=[r"block_a"])
+
+        old = variables["batch_stats"]
+        new = mut["batch_stats"]
+        # frozen module's stats untouched, unmatched module's updated
+        np.testing.assert_array_equal(
+            np.asarray(new["block_a"]["bn"]["mean"]),
+            np.asarray(old["block_a"]["bn"]["mean"]))
+        assert not np.array_equal(
+            np.asarray(new["block_b"]["bn"]["mean"]),
+            np.asarray(old["block_b"]["bn"]["mean"]))
+
+        # and the frozen block normalized with RUNNING stats: the mixed
+        # output must differ from the all-train forward and from the
+        # all-eval forward, but equal train-b + eval-a composition
+        full_train, _ = m.apply(variables, x, train=True,
+                                mutable=["batch_stats"])
+        full_eval = m.apply(variables, x, train=False)
+        assert not np.allclose(np.asarray(out), np.asarray(full_train))
+        assert not np.allclose(np.asarray(out), np.asarray(full_eval))
+
+    def test_no_patterns_is_identity(self, rng):
+        from regnet_for_3d_grasping_tpu.nn.freezer import apply_with_frozen_bn
+
+        m = self._model()
+        x = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        got, _ = apply_with_frozen_bn(
+            m, variables, x, train=True, mutable=["batch_stats"],
+            bn_freeze_patterns=[])
+        want, _ = m.apply(variables, x, train=True,
+                          mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
