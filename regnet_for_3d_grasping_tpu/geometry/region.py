@@ -25,7 +25,9 @@ from jax import lax
 from regnet_for_3d_grasping_tpu import ops
 from regnet_for_3d_grasping_tpu.ops.sampling import (
     bucket_choice,
+    bucket_stride,
     hash_uniform,
+    pallas_bucket_stride,
 )
 from regnet_for_3d_grasping_tpu.geometry.codec import grasps_to_frames
 from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
@@ -57,6 +59,10 @@ class RegionGroups(NamedTuple):
     index: jax.Array    # [B, NC, G] indices into N
     points: jax.Array | None   # [B, NC, G, C] (None when with_points=False)
     valid: jax.Array    # [B, NC] bool — region had >=1 point in radius
+    # bucket width of the selector that produced `index` (slot g lies in
+    # [g*stride, (g+1)*stride) or duplicates an in-window slot) — lets
+    # consumers use the fused ops.gather_max; 0 = not bucket-structured
+    stride: int = 0
 
 
 def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
@@ -86,7 +92,8 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
         valid = count > 0
         idx = jnp.where(valid[..., None], idx, 0)
         points = ops.group_points(pc, idx) if with_points else None
-        return RegionGroups(idx, points, valid)
+        return RegionGroups(idx, points, valid,
+                            pallas_bucket_stride(N, group_num))
 
     chunk = min(center_chunk, NC)
     pad = (-NC) % chunk
@@ -113,7 +120,8 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
     idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, group_num)[:, :NC]
     valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
     points = ops.group_points(pc, idx) if with_points else None
-    return RegionGroups(idx.astype(jnp.int32), points, valid)
+    return RegionGroups(idx.astype(jnp.int32), points, valid,
+                        bucket_stride(N, group_num))
 
 
 def group_regions_two_scales(
@@ -166,7 +174,8 @@ def group_regions_two_scales(
         valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
         return RegionGroups(
             idx.astype(jnp.int32),
-            ops.group_points(pc, idx) if with_points else None, valid)
+            ops.group_points(pc, idx) if with_points else None, valid,
+            bucket_stride(N, g))
 
     return finish(ia, va, group_num), finish(ib, vb, group_num_more)
 
@@ -175,6 +184,10 @@ class ClosingRegion(NamedTuple):
     points: jax.Array | None  # [B, NC, K, C] gripper-frame xyz + colors
     index_in_all: jax.Array   # [B, NC, K] indices into the full cloud
     valid: jax.Array          # [B, NC] bool — > min_points in the gripper
+    # bucket width of `index_in_all` (see RegionGroups.stride); 0 for the
+    # wide-region variant whose indices pass through group_index and lose
+    # the bucket structure
+    stride: int = 0
 
 
 def closing_region_crop(key: jax.Array, pc: jax.Array,
@@ -289,7 +302,8 @@ def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
         idx, count = closing_region_crop_pallas(
             xyz, frame, center, seed, box, gripper_num)
         idx = jnp.where((count > 0)[..., None], idx, 0)
-        return ClosingRegion(None, idx, count > min_points)
+        return ClosingRegion(None, idx, count > min_points,
+                             pallas_bucket_stride(N, gripper_num))
 
     chunk = min(proposal_chunk, NC)
     pad = (-NC) % chunk
@@ -323,4 +337,5 @@ def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
     idx, count = lax.map(per_chunk, (f_chunks, c_chunks, keys))
     idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, gripper_num)[:, :NC]
     count = jnp.moveaxis(count, 0, 1).reshape(B, -1)[:, :NC]
-    return ClosingRegion(None, idx.astype(jnp.int32), count > min_points)
+    return ClosingRegion(None, idx.astype(jnp.int32), count > min_points,
+                         bucket_stride(N, gripper_num))

@@ -3,14 +3,18 @@
 Re-design of ``multi_model/utils/pointnet2.py:123-254``:
 
   * `TwoStageHead`  — per-proposal anchor classification + residual
-    regression (reference ``PointNet2TwoStage``).  Consumes the 256-d
-    backbone features of the `group_num` points around each candidate
-    center, max-pools them, and emits (anchor logits, per-anchor residuals,
-    the pooled 256-d group feature).
+    regression (reference ``PointNet2TwoStage``).  Consumes the POOLED
+    region feature (max over the `group_num` points around each candidate
+    center) and emits (anchor logits, per-anchor residuals).
   * `RefineHead`    — per-proposal valid/invalid classification + residual
-    regression (reference ``PointNet2Refine``).  Consumes the features of
-    the `gripper_num` points inside the closing region plus a slice of the
-    pooled group feature.
+    regression (reference ``PointNet2Refine``).  Consumes the pooled
+    closing-region feature plus a slice of the pooled group feature.
+
+The reference's heads take the un-pooled [.., NG, C] gathered features and
+MaxPool1d them internally (pointnet2.py:165-189, :227-254); here the pool
+happens in the caller via ``ops.gather_max`` so the [B, NC, NG, C] gather
+(524 MB at the inference preset) is never materialized — the heads' math
+from the pooled vector onward is unchanged.
 
 Proposals are batched as a leading [B, NC] grid (fixed shapes + masks), not
 the reference's dynamically-compacted [B*NC'] rows.  BatchNorm therefore
@@ -36,12 +40,11 @@ class TwoStageHead(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, group_feature: jax.Array, train: bool = False
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """group_feature [..., NG, C] -> (cls [..., A], reg [..., A, R],
-        pooled [..., C])."""
+    def __call__(self, pooled: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """pooled [..., C] (max over the region's point features) ->
+        (cls [..., A], reg [..., A, R])."""
         cfg = self.config
-        pooled = jnp.max(group_feature, axis=-2)          # MaxPool1d(NG)
         x = ConvBN(1024, dtype=self.dtype, name="stem")(pooled, train=train)
 
         c = ConvBN(256, dtype=self.dtype, name="cls1")(x, train=train)
@@ -57,7 +60,7 @@ class TwoStageHead(nn.Module):
         # sigmoid on the score channels (pointnet2.py:189)
         r = jnp.concatenate(
             [r[..., :7], nn.sigmoid(r[..., 7:])], axis=-1)
-        return c, r, pooled
+        return c, r
 
 
 class RefineHead(nn.Module):
@@ -67,13 +70,12 @@ class RefineHead(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, gripper_feature: jax.Array,
+    def __call__(self, pooled: jax.Array,
                  group_feature: Optional[jax.Array],
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
-        """gripper_feature [..., K, C], group_feature [..., C2] ->
-        (cls [..., 2], reg [..., R])."""
+        """pooled [..., C] (max over the closing-region point features),
+        group_feature [..., C2] -> (cls [..., 2], reg [..., R])."""
         cfg = self.config
-        pooled = jnp.max(gripper_feature, axis=-2)
         if group_feature is not None:
             # The reference slices the pooled 256-d group feature to 128 via
             # a buggy view(-1,128) reinterpretation (grn.py:343); here we

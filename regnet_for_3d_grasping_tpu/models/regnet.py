@@ -118,9 +118,12 @@ class REGNet(nn.Module):
         groups = group_regions(k_group, pc, centers, region.group_num,
                                cfg.group_radius, with_points=False)
 
-        # per-point backbone features of each region (grn:389-395)
-        region_feat = ops.group_points(feature, groups.index)
-        cls_logits, reg, pooled = self.grn_head(region_feat, train=train)
+        # pooled per-region backbone feature (grn:389-395 + the head's
+        # MaxPool1d) — fused gather+max, the [B,NC,G,C] gather is never
+        # materialized (ops/pooling.py)
+        pooled = ops.gather_max(feature, groups.index,
+                                stride=groups.stride)
+        cls_logits, reg = self.grn_head(pooled, train=train)
         anchor_idx = jnp.argmax(cls_logits, axis=-1)
         proposals = decode_proposals(reg, anchor_idx,
                                      centers[..., :3], cfg.gripper.depth)
@@ -139,9 +142,10 @@ class REGNet(nn.Module):
                 crop = closing_region_crop_dense(
                     k_it, pc, cur, cfg.gripper,
                     region.gripper_num, region.min_region_points)
-                gripper_feat = ops.group_points(feature, crop.index_in_all)
+                pooled_grip = ops.gather_max(feature, crop.index_in_all,
+                                             stride=crop.stride)
                 refine_logits, refine_reg = self.refine_head(
-                    gripper_feat, pooled, train=train)
+                    pooled_grip, pooled, train=train)
                 nxt = jnp.concatenate(
                     [cur[..., :3] + refine_reg[..., :3] * cfg.gripper.depth,
                      cur[..., 3:] + refine_reg[..., 3:]], axis=-1)

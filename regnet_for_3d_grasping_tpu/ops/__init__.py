@@ -22,6 +22,7 @@ from regnet_for_3d_grasping_tpu.ops.grouping import (
     gather_points,
     group_points,
 )
+from regnet_for_3d_grasping_tpu.ops.pooling import gather_max
 from regnet_for_3d_grasping_tpu.ops.knn import three_nn, three_interpolate
 from regnet_for_3d_grasping_tpu.ops.distances import bpdist, bpdist2, pdist2
 from regnet_for_3d_grasping_tpu.ops.sampling import (
@@ -32,6 +33,7 @@ from regnet_for_3d_grasping_tpu.ops.sampling import (
 __all__ = [
     "farthest_point_sample",
     "ball_query",
+    "gather_max",
     "gather_points",
     "group_points",
     "three_nn",

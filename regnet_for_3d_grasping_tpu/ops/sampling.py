@@ -39,6 +39,20 @@ def hash_uniform(key: jax.Array, shape: tuple) -> jax.Array:
     return x.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
 
 
+def bucket_stride(n: int, k: int) -> int:
+    """`bucket_choice`'s window width: slot i of a k-slot selection over an
+    n-long axis holds an index in [i*stride, (i+1)*stride) or a duplicate
+    fill — the contract ops/gather_max.py fuses against."""
+    return -(-n // k)
+
+
+def pallas_bucket_stride(n: int, k: int) -> int:
+    """Window width of the fused Pallas selectors (ops/crop_pallas.py,
+    ops/group_pallas.py): the bucket length rounded up to a 128-lane
+    multiple, min one full lane tile."""
+    return max(128, -(-(-(-n // k)) // 128) * 128)
+
+
 def masked_random_choice(key: jax.Array, mask: jax.Array,
                          k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sample k elements uniformly from the True entries of each mask row.

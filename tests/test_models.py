@@ -187,7 +187,10 @@ class TestREGNet:
         K = cfg.region.gripper_num
         C = cfg.model.feature_channels
         R = cfg.model.reg_channels
-        gripper_feat = jnp.asarray(rng.randn(B, NC, K, C).astype(np.float32))
+        # heads take pooled features (gather+max happens in the caller)
+        gripper_feat = jnp.max(
+            jnp.asarray(rng.randn(B, NC, K, C).astype(np.float32)),
+            axis=-2)
         pooled = jnp.asarray(rng.randn(B, NC, C).astype(np.float32))
 
         nxt = rng.randn(B, NC, R).astype(np.float32) * 0.05

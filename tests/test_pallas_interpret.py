@@ -135,3 +135,68 @@ class TestGroupInterpret:
         rows = inside.any(-1)
         picked = np.take_along_axis(inside, idx, axis=-1)
         assert picked[rows].all()
+
+
+class TestGatherMaxInterpret:
+    """Fused gather+max (ops/pooling.py) vs the XLA gather+max."""
+
+    def _case(self, rng, B, N, C, S, K, dtype):
+        import regnet_for_3d_grasping_tpu.ops.pooling as gm
+        from regnet_for_3d_grasping_tpu.ops.sampling import (
+            bucket_choice, bucket_stride, hash_uniform)
+        feat = jnp.asarray(
+            rng.randn(B, N, C).astype(np.float32)).astype(dtype)
+        # bucket-structured indices with sparse masks (-> duplicate
+        # fills) and a fully-degenerate row (-> all-zero indices)
+        mask = jnp.asarray(rng.rand(B, S, N) < 0.008)
+        mask = mask.at[0, 0].set(False)
+        noise = hash_uniform(jax.random.PRNGKey(7), mask.shape)
+        idx, any_valid, _ = bucket_choice(mask, K, score=noise)
+        idx = jnp.where(any_valid[..., None], idx, 0)
+        stride = bucket_stride(N, K)
+        ref = gm._xla_pooled(feat, idx)
+        got = gm.gather_max_pallas(feat, idx, stride, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        got2, win = gm.gather_max_pallas(feat, idx, stride,
+                                         with_argmax=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref))
+        # every winner row must actually hold the pooled value
+        wv = jax.vmap(jax.vmap(
+            lambda w, f: f[w, jnp.arange(C)], in_axes=(0, None)),
+            in_axes=(0, 0))(win, feat)
+        np.testing.assert_array_equal(np.asarray(wv), np.asarray(ref))
+
+    def test_f32_exact(self):
+        rng = np.random.RandomState(11)
+        self._case(rng, 1, 1600, 128, 96, 16, jnp.float32)
+
+    def test_bf16_exact(self):
+        rng = np.random.RandomState(12)
+        self._case(rng, 1, 1600, 128, 96, 16, jnp.bfloat16)
+
+    def test_crop_shape_unpadded_window(self):
+        # stride already a 128-multiple (the Pallas-crop producer shape):
+        # exercises the no-pad window path where fills could otherwise
+        # alias a real row
+        rng = np.random.RandomState(13)
+        self._case(rng, 1, 1024, 128, 64, 8, jnp.float32)
+
+    def test_batched(self):
+        rng = np.random.RandomState(14)
+        self._case(rng, 2, 800, 128, 72, 8, jnp.float32)
+
+    def test_grad_matches_autodiff(self):
+        import regnet_for_3d_grasping_tpu.ops.pooling as gm
+        rng = np.random.RandomState(15)
+        B, N, C, S, K, stride = 2, 800, 32, 40, 8, 100
+        feat = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        off = rng.randint(0, stride, (B, S, K))
+        idx = jnp.asarray(np.minimum(
+            (np.arange(K) * stride)[None, None, :] + off, N - 1
+        ).astype(np.int32))
+        g1 = jax.grad(lambda f: jnp.sum(jnp.sin(
+            gm.gather_max(f, idx, stride))))(feat)
+        g2 = jax.grad(lambda f: jnp.sum(jnp.sin(
+            gm._xla_pooled(f, idx))))(feat)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-6)

@@ -139,11 +139,14 @@ class TestHeadValueParity:
             t_rcls, t_rreg = shell.extrat_feature_refine(
                 torch.from_numpy(gripper), t_pooled)
 
+        # the flax heads take the POOLED features (the gather+max now
+        # happens in the caller via ops.gather_max — models/heads.py)
+        group_pooled = jnp.max(jnp.asarray(group), axis=-2)
+        gripper_pooled = jnp.max(jnp.asarray(gripper), axis=-2)
         grn = TwoStageHead(cfg)
-        gv = grn.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(group))
+        gv = grn.init({"params": jax.random.PRNGKey(0)}, group_pooled)
         ref = RefineHead(cfg)
-        rv = ref.init({"params": jax.random.PRNGKey(1)},
-                      jnp.asarray(gripper),
+        rv = ref.init({"params": jax.random.PRNGKey(1)}, gripper_pooled,
                       jnp.asarray(np.asarray(t_pooled)))
 
         params, stats, report = convert_torch_state_dicts(
@@ -154,12 +157,12 @@ class TestHeadValueParity:
              "refine_head": jax.tree.map(np.asarray, rv["batch_stats"])})
         assert len(report) >= 12 * 2
 
-        cls, reg, pooled = grn.apply(
+        cls, reg = grn.apply(
             {"params": params["grn_head"],
              "batch_stats": stats["grn_head"]},
-            jnp.asarray(group), train=False)
-        np.testing.assert_allclose(np.asarray(pooled), t_pooled.numpy(),
-                                   atol=1e-5)
+            group_pooled, train=False)
+        np.testing.assert_allclose(np.asarray(group_pooled),
+                                   t_pooled.numpy(), atol=1e-5)
         np.testing.assert_allclose(np.asarray(cls), t_cls.numpy(),
                                    atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(reg), t_reg.numpy(),
@@ -168,7 +171,7 @@ class TestHeadValueParity:
         rcls, rreg = ref.apply(
             {"params": params["refine_head"],
              "batch_stats": stats["refine_head"]},
-            jnp.asarray(gripper), pooled, train=False)
+            gripper_pooled, group_pooled, train=False)
         np.testing.assert_allclose(np.asarray(rcls), t_rcls.numpy(),
                                    atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(rreg), t_rreg.numpy(),
