@@ -87,3 +87,85 @@ class TestGoldenSchema:
         eye = np.einsum("nij,nik->njk", frames, frames)
         np.testing.assert_allclose(
             eye, np.tile(np.eye(3), (len(grasps), 1, 1)), atol=1e-3)
+
+
+class TestRealGoldenRoundTrip:
+    """The REAL-data golden (test.py:101-118 path): reconstruct the .pcd
+    input from the committed prediction pickle's points/colors, run our
+    full real-data pipeline (pcd read -> camera transform -> workspace
+    crop -> resample -> cascade), and pin the output schema + the
+    preprocessing invariants (VERDICT r2 item 6 / missing #3)."""
+
+    def _write_pcd(self, path, pts_cam, colors):
+        rgb = (np.clip(colors, 0, 1) * 255).round().astype(np.uint32)
+        packed = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
+        arr = np.zeros(len(pts_cam),
+                       dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                              ("rgb", "u4")])
+        arr["x"], arr["y"], arr["z"] = pts_cam.astype(np.float32).T
+        arr["rgb"] = packed
+        with open(path, "wb") as f:
+            f.write(b"VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\n"
+                    b"TYPE F F F U\nCOUNT 1 1 1 1\n"
+                    + f"WIDTH {len(arr)}\nHEIGHT 1\nPOINTS {len(arr)}\n"
+                    .encode() + b"DATA binary\n")
+            f.write(arr.tobytes())
+
+    def test_real_pipeline_roundtrip(self, tmp_path):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+        from regnet_for_3d_grasping_tpu.utils import pcd as pcdio
+
+        golden = load(GOLDEN_REAL)
+        # the real-data golden stores the PRE-resample cropped cloud
+        # (utils.py:412-424 saves pc_back for .pcd inputs): 81742 points
+        pts_global = golden["points"].astype(np.float64)
+        colors = golden["colors"].astype(np.float64)
+        assert len(pts_global) > 25600 and pts_global.shape[1] == 3
+
+        # the pipeline applies the Kinect camera->global transform
+        # (utils.py:433-440); invert it to synthesize the camera-frame
+        # .pcd the reference consumed
+        T = pcdio.camera_to_global_transform()
+        Tinv = np.linalg.inv(T)
+        pts_cam = pcdio.transform_points(Tinv, pts_global)
+        # sanity: the transform round-trips
+        np.testing.assert_allclose(
+            pcdio.transform_points(T, pts_cam), pts_global, atol=1e-9)
+
+        in_dir = tmp_path / "real_data"
+        in_dir.mkdir()
+        self._write_pcd(in_dir / "0000_cloud.pcd", pts_cam, colors)
+
+        from regnet_for_3d_grasping_tpu.cli import infer
+        infer.main(["--folder-name", str(in_dir),
+                    "--center-num", "64", "--group-num-more", "256",
+                    "--all-points-num", "25600"])
+
+        out = load(tmp_path / "real_data_predict" / "0000_cloud.p")
+        assert set(GOLDEN_KEYS) <= set(out.keys())
+        assert out["points"].shape == golden["points"].shape
+        assert out["scores"].shape == golden["scores"].shape
+        for k in GOLDEN_KEYS[3:]:
+            assert out[k].ndim == 2 and out[k].shape[1] == 8
+            assert out[k].dtype == np.float32
+
+        # preprocessing invariants: every kept point passed the workspace
+        # crop (test.py:114-118) and came from the golden cloud (within
+        # the 1/255 color quantization of the synthesized .pcd)
+        p = out["points"]
+        assert (p[:, 0] < 0.26).all() and (p[:, 0] > -0.4).all()
+        assert (p[:, 2] < 1).all()
+        assert (p[:, 1] < 0.65).all() and (p[:, 1] > 0.2).all()
+        # golden points are already inside the crop -> none dropped: the
+        # saved real-data cloud is the full crop survivor set, matching
+        # the golden's count exactly
+        assert len(p) == len(pts_global)
+        # and it IS the golden cloud (round-trip through the camera
+        # frame is lossless to f32 rounding)
+        np.testing.assert_allclose(p, pts_global.astype(np.float32),
+                                   atol=1e-5)
+        if len(out["grasp_stage2"]):
+            n = np.linalg.norm(out["grasp_stage2"][:, 3:6], axis=1)
+            np.testing.assert_allclose(n, 1.0, atol=1e-3)
