@@ -34,7 +34,8 @@ from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
 
 
 def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
-                         score_thre: float) -> Tuple[jax.Array, jax.Array]:
+                         score_thre: float,
+                         groups: int = 1) -> Tuple[jax.Array, jax.Array]:
     """Pick grasp-center candidates among high-graspability points.
 
     Args:
@@ -51,7 +52,8 @@ def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
     Both are handled inside masked FPS (ops/fps.py).
     """
     positive = score > score_thre
-    idx = ops.farthest_point_sample(pc[..., :3], center_num, mask=positive)
+    idx = ops.farthest_point_sample(pc[..., :3], center_num, mask=positive,
+                                    groups=groups)
     return ops.gather_points(pc, idx), idx
 
 

@@ -42,12 +42,16 @@ class SetAbstraction(nn.Module):
     mlp_channels: Sequence[int]
     dtype: jnp.dtype | None = None
     ball_query_method: str = "bucket"
+    # >1 = stratified approximate FPS (ops/fps.py groups param); exact by
+    # default — quality-gate any change with tools/benchmark_eval.py
+    fps_groups: int = 1
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feature: Optional[jax.Array],
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
         """xyz [B,N,3], feature [B,N,C] -> (new_xyz [B,S,3], feat [B,S,C'])."""
-        idx = ops.farthest_point_sample(xyz, self.num_centroids)
+        idx = ops.farthest_point_sample(xyz, self.num_centroids,
+                                        groups=self.fps_groups)
         new_xyz = ops.gather_points(xyz, idx)
         nidx, _ = ops.ball_query(xyz, new_xyz, self.radius,
                                  self.num_neighbours,
@@ -191,6 +195,9 @@ class PointNet2Seg(nn.Module):
                 mlp_channels=cfg.sa_channels[i],
                 dtype=self.dtype,
                 ball_query_method=cfg.ball_query_method,
+                # SA1 holds ~96% of the FPS work (S*N); deeper layers
+                # stay exact — their inputs are FPS-ordered, not random
+                fps_groups=cfg.fps_groups if i == 0 else 1,
                 name=f"sa{i}")(xyz, feature, train)
             inter_xyz.append(xyz)
             inter_feat.append(feature)

@@ -110,7 +110,8 @@ class REGNet(nn.Module):
 
         # --- GRN: candidate centers + two region scales ------------------
         centers, center_idx = select_score_centers(
-            pc, score, region.center_num, region.score_thre)
+            pc, score, region.center_num, region.score_thre,
+            groups=region.center_fps_groups)
         # indices only — the cascade consumes backbone features gathered by
         # index, never the raw grouped points; the wide (group_num_more)
         # scale is not needed at all since the closing-region crop tests

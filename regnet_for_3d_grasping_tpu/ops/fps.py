@@ -40,7 +40,8 @@ def _use_pallas(n: int, num_samples: int) -> bool:
 
 
 def farthest_point_sample(xyz: jax.Array, num_samples: int,
-                          mask: jax.Array | None = None) -> jax.Array:
+                          mask: jax.Array | None = None,
+                          groups: int = 1) -> jax.Array:
     """Iteratively sample the `num_samples` mutually farthest points.
 
     Args:
@@ -48,6 +49,17 @@ def farthest_point_sample(xyz: jax.Array, num_samples: int,
       num_samples: number of centroids to select (static).
       mask: optional [B, N] bool; False points are never selected while any
         True point remains unselected.
+      groups: 1 (default) = exact reference semantics.  G>1 = stratified
+        approximate FPS: the point axis is split into G contiguous slices
+        — random subsets, because this framework's clouds are randomly
+        resampled (scoredataset.py:68-75) — and exact FPS of
+        num_samples/G runs in each slice INDEPENDENTLY via the batch
+        dimension.  Sequential depth and total work both drop by G
+        (exact FPS is O(S*N) with S dependent steps; grouped is
+        O(S/G * N/G) per slice, all slices in parallel).  Spread quality
+        degrades only by the sampling noise between slices; gate any use
+        with tools/holdout_eval.py / tools/benchmark_eval.py (VERDICT r2
+        item 2).  Requires N % G == 0 and num_samples % G == 0.
 
     Returns:
       [B, num_samples] int32 indices into N.  The first selected index is the
@@ -56,9 +68,21 @@ def farthest_point_sample(xyz: jax.Array, num_samples: int,
       When fewer than `num_samples` points are valid, the remaining slots
       repeat already-selected valid points (static-shape analogue of the
       reference's random-with-replacement padding).
+      With groups=G the index list is ordered slice-major (all of slice
+      0's picks first); downstream consumers treat centroids as a set.
     """
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
+
+    if groups > 1:
+        assert N % groups == 0 and num_samples % groups == 0, \
+            (N, num_samples, groups)
+        L = N // groups
+        xg = xyz.reshape(B * groups, L, 3)
+        mg = None if mask is None else mask.reshape(B * groups, L)
+        idx = farthest_point_sample(xg, num_samples // groups, mg)
+        offs = (jnp.arange(groups, dtype=jnp.int32) * L)[None, :, None]
+        return (idx.reshape(B, groups, -1) + offs).reshape(B, num_samples)
 
     if mask is None:
         valid = jnp.ones((B, N), dtype=bool)

@@ -71,6 +71,12 @@ class ModelConfig:
     # ball_query_kernel.cu:62-69 — used for value-parity checks)
     ball_query_method: str = "bucket"
 
+    # Stratified approximate FPS at SA1 (ops/fps.py `groups`): 1 = exact
+    # reference semantics (default); G>1 cuts the FPS stage's sequential
+    # depth and work by G at a quality cost gated on the frozen benchmark
+    # suite (tools/benchmark_eval.py)
+    fps_groups: int = 1
+
     # Numerics
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     bn_momentum: float = 0.1         # torch convention; flax momentum = 1 - this
@@ -106,6 +112,10 @@ class RegionConfig:
     # is a real INFERENCE-time extension (training requires 1 — the
     # stage-3 residual loss is defined against the stage-2 proposals).
     refine_iters: int = 1
+    # Stratified approximate FPS for grasp-center selection (ops/fps.py
+    # `groups`): 1 = exact (default); quality-gate changes like
+    # ModelConfig.fps_groups
+    center_fps_groups: int = 1
     max_gt_grasps: int = 512     # static pad for per-scene ground-truth grasps
     # Reference quirk kept for parity: the center<->GT matching threshold 0.005
     # is applied to the SQUARED distance (get_regiondataset.py:114 with

@@ -105,6 +105,44 @@ def np_ball_query(xyz, centers, radius, k):
     return idx, cnt
 
 
+    def test_grouped_stratified(self, rng):
+        """groups=G: per-slice exact FPS — indices stay in their slice,
+        spread stays comparable to exact FPS (ops/fps.py groups)."""
+        xyz = rng.randn(2, 128, 3).astype(np.float32)
+        G, S = 4, 32
+        got = np.asarray(ops.farthest_point_sample(
+            jnp.asarray(xyz), S, groups=G))
+        L, per = 128 // G, S // G
+        for b in range(2):
+            assert len(set(got[b])) == S
+            for g in range(G):
+                sl = got[b, g * per:(g + 1) * per]
+                assert ((sl >= g * L) & (sl < (g + 1) * L)).all()
+                # slice-local picks == exact FPS on the slice
+                np.testing.assert_array_equal(
+                    sl - g * L, np_fps(xyz[b, g * L:(g + 1) * L], per))
+
+        def min_pairwise(pts):
+            d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+            d[np.diag_indices(len(pts))] = np.inf
+            return d.min()
+
+        exact = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), S))
+        for b in range(2):
+            r = min_pairwise(xyz[b][got[b]]) / min_pairwise(xyz[b][exact[b]])
+            assert r > 0.4, r      # stratified spread stays in the same
+            # regime as exact FPS (quality gate proper runs on the
+            # frozen benchmark suite)
+
+    def test_grouped_masked(self, rng):
+        xyz = rng.randn(1, 64, 3).astype(np.float32)
+        mask = np.zeros((1, 64), bool)
+        mask[0, 5:60] = True
+        got = np.asarray(ops.farthest_point_sample(
+            jnp.asarray(xyz), 16, mask=jnp.asarray(mask), groups=4))
+        assert mask[0][got[0]].all()
+
+
 class TestBallQuery:
     @pytest.mark.parametrize("chunk", [7, 16, 4096])
     def test_exact_matches_numpy(self, rng, chunk):

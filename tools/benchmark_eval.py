@@ -36,6 +36,10 @@ def main():
                         "print only, don't write")
     p.add_argument("--center-num", type=int, default=4000)
     p.add_argument("--accept-margin", type=float, default=0.0)
+    p.add_argument("--fps-groups", type=int, default=1,
+                   help="stratified approximate FPS at SA1 (1 = exact); "
+                        "used for the quality gate of ops/fps.py groups")
+    p.add_argument("--center-fps-groups", type=int, default=1)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verify-only", action="store_true")
@@ -76,6 +80,8 @@ def main():
     cfg = infer_config(**{
         "region.center_num": args.center_num,
         "region.accept_margin": args.accept_margin,
+        "model.fps_groups": args.fps_groups,
+        "region.center_fps_groups": args.center_fps_groups,
     })
     model = REGNet(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     fwd = jax.jit(lambda v, x, k: model.apply(
@@ -141,6 +147,8 @@ def main():
         "epoch": int(epoch),
         "config": {"center_num": args.center_num,
                    "accept_margin": args.accept_margin,
+                   "fps_groups": args.fps_groups,
+                   "center_fps_groups": args.center_fps_groups,
                    "dtype": "bf16" if args.bf16 else "f32",
                    "normals": "precomputed(scene_normal)",
                    "backend": jax.default_backend()},
