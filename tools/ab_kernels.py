@@ -150,6 +150,50 @@ def main():
               sa_centers, iters=it)
     print(f"   => pallas/xla = {b / a:.3f}x")
 
+    print("\n-- fused gather+max pooling (S x K x C) --")
+    import regnet_for_3d_grasping_tpu.ops.pooling as gm
+    from regnet_for_3d_grasping_tpu.ops.sampling import (
+        bucket_stride, hash_uniform)
+    feat32 = jnp.asarray(rng.standard_normal(
+        (1, N, 256)).astype(np.float32))
+    for K, label in ((cfg.region.group_num, "region"),
+                     (cfg.region.gripper_num, "refine")):
+        mask = jnp.asarray(rng.random((1, NC, N)) < 0.01)
+        noise = hash_uniform(jax.random.PRNGKey(3), mask.shape)
+        from regnet_for_3d_grasping_tpu.ops.sampling import bucket_choice
+        idx, av, _ = bucket_choice(mask, K, score=noise)
+        idx = jnp.where(av[..., None], idx, 0)
+        stride = bucket_stride(N, K)
+        for dt, feat in (("f32", feat32),
+                         ("bf16", feat32.astype(jnp.bfloat16))):
+            a = bench(f"XLA gather+max ({label} K={K}, {dt})",
+                      lambda f, i: gm._xla_pooled(f, i), feat, idx,
+                      iters=it)
+            b = bench(f"Pallas gather_max ({label} K={K}, {dt})",
+                      lambda f, i: gm.gather_max_pallas(f, i, stride),
+                      feat, idx, iters=it)
+            same = bool(jnp.all(
+                gm.gather_max_pallas(feat, idx, stride)
+                == gm._xla_pooled(feat, idx)))
+            print(f"   => pallas/xla = {b / a:.3f}x   exact: {same}")
+        c = bench(f"Pallas gather_max+argmax ({label} K={K}, f32)",
+                  lambda f, i: gm.gather_max_pallas(
+                      f, i, stride, with_argmax=True), feat32, idx,
+                  iters=it)
+        print(f"   => argmax overhead {c - b:.2f} ms vs bf16 variant")
+
+    print("\n-- stratified grouped FPS (approximate, ops/fps.py) --")
+    import regnet_for_3d_grasping_tpu.ops.fps as F
+    for G in (1, 4, 8):
+        bench(f"farthest_point_sample S=5120 groups={G}",
+              lambda x: F.farthest_point_sample(x, 5120, groups=G),
+              xyz, iters=it)
+    for G in (1, 4, 8):
+        bench(f"center FPS S={NC} masked groups={G}",
+              lambda x, m: F.farthest_point_sample(x, NC, mask=m,
+                                                   groups=G),
+              xyz, jnp.asarray(rng.random((1, N)) < 0.3), iters=it)
+
     print("\n-- FPS kernel version (N=%d -> S) --" % N)
     dist = jnp.full((1, N), 1e10, jnp.float32)
     for S in (5120, NC):

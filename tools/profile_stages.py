@@ -89,8 +89,11 @@ def main():
     groups, groups_more = R.group_regions_two_scales(
         key, pc, centers, cfg.region.group_num, cfg.group_radius,
         cfg.region.group_num_more, cfg.group_radius_more)
-    bench("region feature gather",
+    bench("region feature gather (unfused reference)",
           lambda f, i: ops.group_points(f, i), feature, groups.index)
+    bench("region pooled feature (fused gather_max)",
+          lambda f, i: ops.gather_max(f, i, stride=groups.stride),
+          feature, groups.index)
     grasp = jnp.zeros((1, args.centers, 8)).at[..., 4].set(1.0)
     bench("closing-region crop (wide-region variant)",
           lambda k, p, gi, g: R.closing_region_crop(
@@ -104,8 +107,11 @@ def main():
           key, pc, grasp)
     crop = R.closing_region_crop_dense(key, pc, grasp, cfg.gripper,
                                        cfg.region.gripper_num)
-    bench("gripper feature gather",
+    bench("gripper feature gather (unfused reference)",
           lambda f, i: ops.group_points(f, i), feature, crop.index_in_all)
+    bench("gripper pooled feature (fused gather_max)",
+          lambda f, i: ops.gather_max(f, i, stride=crop.stride),
+          feature, crop.index_in_all)
 
     model = REGNet(cfg, dtype=dtype)
     mv = jax.jit(lambda: model.init(
