@@ -61,10 +61,26 @@ class RegionGroups(NamedTuple):
     index: jax.Array    # [B, NC, G] indices into N
     points: jax.Array | None   # [B, NC, G, C] (None when with_points=False)
     valid: jax.Array    # [B, NC] bool — region had >=1 point in radius
-    # bucket width of the selector that produced `index` (slot g lies in
-    # [g*stride, (g+1)*stride) or duplicates an in-window slot) — lets
-    # consumers use the fused ops.gather_max; 0 = not bucket-structured
-    stride: int = 0
+
+
+def group_stride(nc: int, n: int, group_num: int) -> int:
+    """Bucket width of `group_regions`' index output (slot g lies in
+    [g*stride, (g+1)*stride) or duplicates an in-window slot) — the
+    contract `ops.gather_max` fuses against.  Mirrors the Pallas/XLA
+    dispatch, so it must be computed from the same static shapes the
+    call used.  (A field on RegionGroups would become a traced leaf
+    across jit boundaries; static metadata stays out of the pytree.)"""
+    if _use_pallas_group(nc, n, group_num):
+        return pallas_bucket_stride(n, group_num)
+    return bucket_stride(n, group_num)
+
+
+def dense_crop_stride(nc: int, n: int, gripper_num: int) -> int:
+    """Bucket width of `closing_region_crop_dense`'s index output (see
+    `group_stride`)."""
+    if _use_pallas_crop(nc, n, gripper_num):
+        return pallas_bucket_stride(n, gripper_num)
+    return bucket_stride(n, gripper_num)
 
 
 def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
@@ -94,8 +110,7 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
         valid = count > 0
         idx = jnp.where(valid[..., None], idx, 0)
         points = ops.group_points(pc, idx) if with_points else None
-        return RegionGroups(idx, points, valid,
-                            pallas_bucket_stride(N, group_num))
+        return RegionGroups(idx, points, valid)
 
     chunk = min(center_chunk, NC)
     pad = (-NC) % chunk
@@ -122,8 +137,7 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
     idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, group_num)[:, :NC]
     valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
     points = ops.group_points(pc, idx) if with_points else None
-    return RegionGroups(idx.astype(jnp.int32), points, valid,
-                        bucket_stride(N, group_num))
+    return RegionGroups(idx.astype(jnp.int32), points, valid)
 
 
 def group_regions_two_scales(
@@ -176,8 +190,7 @@ def group_regions_two_scales(
         valid = jnp.moveaxis(valid, 0, 1).reshape(B, -1)[:, :NC]
         return RegionGroups(
             idx.astype(jnp.int32),
-            ops.group_points(pc, idx) if with_points else None, valid,
-            bucket_stride(N, g))
+            ops.group_points(pc, idx) if with_points else None, valid)
 
     return finish(ia, va, group_num), finish(ib, vb, group_num_more)
 
@@ -186,10 +199,6 @@ class ClosingRegion(NamedTuple):
     points: jax.Array | None  # [B, NC, K, C] gripper-frame xyz + colors
     index_in_all: jax.Array   # [B, NC, K] indices into the full cloud
     valid: jax.Array          # [B, NC] bool — > min_points in the gripper
-    # bucket width of `index_in_all` (see RegionGroups.stride); 0 for the
-    # wide-region variant whose indices pass through group_index and lose
-    # the bucket structure
-    stride: int = 0
 
 
 def closing_region_crop(key: jax.Array, pc: jax.Array,
@@ -304,8 +313,7 @@ def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
         idx, count = closing_region_crop_pallas(
             xyz, frame, center, seed, box, gripper_num)
         idx = jnp.where((count > 0)[..., None], idx, 0)
-        return ClosingRegion(None, idx, count > min_points,
-                             pallas_bucket_stride(N, gripper_num))
+        return ClosingRegion(None, idx, count > min_points)
 
     chunk = min(proposal_chunk, NC)
     pad = (-NC) % chunk
@@ -339,5 +347,4 @@ def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
     idx, count = lax.map(per_chunk, (f_chunks, c_chunks, keys))
     idx = jnp.moveaxis(idx, 0, 1).reshape(B, -1, gripper_num)[:, :NC]
     count = jnp.moveaxis(count, 0, 1).reshape(B, -1)[:, :NC]
-    return ClosingRegion(None, idx.astype(jnp.int32), count > min_points,
-                         bucket_stride(N, gripper_num))
+    return ClosingRegion(None, idx.astype(jnp.int32), count > min_points)

@@ -29,7 +29,9 @@ from regnet_for_3d_grasping_tpu.geometry.codec import (
 )
 from regnet_for_3d_grasping_tpu.geometry.region import (
     closing_region_crop_dense,
+    dense_crop_stride,
     group_regions,
+    group_stride,
     select_score_centers,
 )
 from regnet_for_3d_grasping_tpu.models.heads import RefineHead, TwoStageHead
@@ -122,8 +124,10 @@ class REGNet(nn.Module):
         # pooled per-region backbone feature (grn:389-395 + the head's
         # MaxPool1d) — fused gather+max, the [B,NC,G,C] gather is never
         # materialized (ops/pooling.py)
-        pooled = ops.gather_max(feature, groups.index,
-                                stride=groups.stride)
+        pooled = ops.gather_max(
+            feature, groups.index,
+            stride=group_stride(region.center_num, pc.shape[1],
+                                region.group_num))
         cls_logits, reg = self.grn_head(pooled, train=train)
         anchor_idx = jnp.argmax(cls_logits, axis=-1)
         proposals = decode_proposals(reg, anchor_idx,
@@ -143,8 +147,11 @@ class REGNet(nn.Module):
                 crop = closing_region_crop_dense(
                     k_it, pc, cur, cfg.gripper,
                     region.gripper_num, region.min_region_points)
-                pooled_grip = ops.gather_max(feature, crop.index_in_all,
-                                             stride=crop.stride)
+                pooled_grip = ops.gather_max(
+                    feature, crop.index_in_all,
+                    stride=dense_crop_stride(region.center_num,
+                                             pc.shape[1],
+                                             region.gripper_num))
                 refine_logits, refine_reg = self.refine_head(
                     pooled_grip, pooled, train=train)
                 nxt = jnp.concatenate(

@@ -91,8 +91,10 @@ def main():
         cfg.region.group_num_more, cfg.group_radius_more)
     bench("region feature gather (unfused reference)",
           lambda f, i: ops.group_points(f, i), feature, groups.index)
+    g_stride = R.group_stride(args.centers, cfg.region.num_points,
+                              cfg.region.group_num)
     bench("region pooled feature (fused gather_max)",
-          lambda f, i: ops.gather_max(f, i, stride=groups.stride),
+          lambda f, i: ops.gather_max(f, i, stride=g_stride),
           feature, groups.index)
     grasp = jnp.zeros((1, args.centers, 8)).at[..., 4].set(1.0)
     bench("closing-region crop (wide-region variant)",
@@ -109,8 +111,10 @@ def main():
                                        cfg.region.gripper_num)
     bench("gripper feature gather (unfused reference)",
           lambda f, i: ops.group_points(f, i), feature, crop.index_in_all)
+    c_stride = R.dense_crop_stride(args.centers, cfg.region.num_points,
+                                   cfg.region.gripper_num)
     bench("gripper pooled feature (fused gather_max)",
-          lambda f, i: ops.gather_max(f, i, stride=crop.stride),
+          lambda f, i: ops.gather_max(f, i, stride=c_stride),
           feature, crop.index_in_all)
 
     model = REGNet(cfg, dtype=dtype)
