@@ -24,14 +24,19 @@ from jax import lax
 
 _INF = jnp.float32(1e10)
 
-# Above this N*S product the Pallas kernel (ops/fps_pallas.py) wins by ~3x;
+# Above this B*N*S work the Pallas kernel (ops/fps_pallas.py) wins by ~3x;
 # below it the lax.scan version is cheap and avoids a ~5min Mosaic compile
 # per shape variant (cached persistently thereafter — utils/cache.py).
-_PALLAS_WORK_THRESHOLD = 1 << 24
+# The batch dim counts: grouped FPS (groups=G) runs as B*G slices of
+# N/G x S/G, whose per-slice product would otherwise fall under the
+# threshold and hit the scan path's per-step dispatch overhead
+# (tools/ab_kernels.py 2026-08-17: groups=8 measured SLOWER than exact
+# until the batched work was counted).
+_PALLAS_WORK_THRESHOLD = 1 << 23
 
 
-def _use_pallas(n: int, num_samples: int) -> bool:
-    if n * num_samples < _PALLAS_WORK_THRESHOLD:
+def _use_pallas(n: int, num_samples: int, batch: int = 1) -> bool:
+    if batch * n * num_samples < _PALLAS_WORK_THRESHOLD:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -98,7 +103,7 @@ def farthest_point_sample(xyz: jax.Array, num_samples: int,
     # against valid points (whose min-distance is >= 0).
     dist = jnp.where(valid, _INF, jnp.float32(-1.0))
 
-    if _use_pallas(N, num_samples):
+    if _use_pallas(N, num_samples, B):
         from regnet_for_3d_grasping_tpu.ops.fps_pallas import fps_pallas
         # version=2 (aligned-tile centroid extraction) measures 0.85-0.96x
         # of v1 at every bench shape with bit-identical indices

@@ -5,8 +5,8 @@ through a max-pool (reference ``pointnet2.py:165-189`` MaxPool1d over the
 group, ``:227-254`` over the closing region), yet the reference — and the
 XLA fallback here — first materializes the gathered tensor:
 ``group_points(feature, index)`` at the 4000-center inference preset is a
-[1, 4000, 256, 128] (524 MB) intermediate that costs ~5.7 ms of HBM
-traffic before the 2 MB pooled result is reduced (grn:389-395 + maxpool).
+[1, 4000, 256, 256] (1.05 GB) intermediate that costs ~5.7 ms of HBM
+traffic before the 4 MB pooled result is reduced (grn:389-395 + maxpool).
 
 This op never materializes it.  Every index producer in this framework
 (`ops.sampling.bucket_choice`, `ops.crop_pallas`) is *bucket-structured*:
@@ -45,8 +45,13 @@ _KC = 8        # buckets per grid step
 _BIG = 1e38    # finite sentinel (0 * -inf in the one-hot matmul would NaN)
 
 # Pallas dispatch above this S*K*C work on TPU; None disables.  Set from
-# tools/ab_kernels.py on the v5e chip.
-_PALLAS_THRESHOLD: int | None = 1 << 24
+# tools/ab_kernels.py on the v5e chip (2026-08-17): at the region shape
+# (4000x256x256) the kernel wins 2.1x in f32 / 2.8x in bf16; at the
+# refine shape (4000x64x256, Wp=512) bf16 wins 1.6x but f32 TIES — the
+# exact 3-way-split matmuls triple the f32 FLOPs on the 512-wide padded
+# windows — so the f32 threshold sits above it.
+_PALLAS_THRESHOLD_BF16: int | None = 1 << 25
+_PALLAS_THRESHOLD_F32: int | None = 1 << 27
 
 
 def _on_tpu() -> bool:
@@ -56,9 +61,11 @@ def _on_tpu() -> bool:
         return False
 
 
-def use_pallas(s: int, k: int, c: int, stride: int) -> bool:
-    return (_PALLAS_THRESHOLD is not None and stride > 0
-            and s * k * c >= _PALLAS_THRESHOLD and k % _KC == 0
+def use_pallas(s: int, k: int, c: int, stride: int, dtype) -> bool:
+    thr = _PALLAS_THRESHOLD_BF16 if dtype == jnp.bfloat16 \
+        else _PALLAS_THRESHOLD_F32
+    return (thr is not None and stride > 0
+            and s * k * c >= thr and k % _KC == 0
             and _on_tpu())
 
 
@@ -66,10 +73,11 @@ def _windows(feature: jax.Array, K: int, stride: int, Wp: int) -> jax.Array:
     """[B, N, C] -> [B, K, Wp, C] per-bucket windows, sentinel-padded.
 
     Window k rows [0, stride) hold feature[k*stride + w]; rows
-    [stride, Wp) and the beyond-N tail hold -BIG so an (out-of-contract)
-    match there can never win the max.
+    [stride, Wp) and the beyond-N tail hold -BIG — row `stride` is the
+    fill-redirect sentinel, so Wp > stride always.
     """
     B, N, C = feature.shape
+    assert Wp > stride
     pad_n = K * stride - N
     assert pad_n >= 0, (N, K, stride)
     f = feature
@@ -77,19 +85,21 @@ def _windows(feature: jax.Array, K: int, stride: int, Wp: int) -> jax.Array:
         f = jnp.pad(f, ((0, 0), (0, pad_n), (0, 0)),
                     constant_values=-_BIG)
     f = f.reshape(B, K, stride, C)
-    if Wp > stride:
-        f = jnp.pad(f, ((0, 0), (0, 0), (0, Wp - stride), (0, 0)),
-                    constant_values=-_BIG)
-    return f
+    return jnp.pad(f, ((0, 0), (0, 0), (0, Wp - stride), (0, 0)),
+                   constant_values=-_BIG)
 
 
 def _kernel(stride: int, Wp: int, with_argmax: bool,
             idx_ref, fw_ref, out_ref, *rest):
     """Grid (B, S/TS, K/KC), k innermost so the out block stays resident.
 
-    Refs after the leading-None squeeze: idx_ref [TS, KC] (this step's
-    bucket chunk), fw_ref [KC, Wp, C] f32/bf16, out_ref [TS, C];
-    optional win_ref [TS, C] int32.
+    Refs after the leading-None squeeze: idx_ref [KC, TS] (this step's
+    bucket chunk, TRANSPOSED so the lane dim is the 128-aligned proposal
+    axis — Mosaic requires the last block dim 128-divisible), fw_ref
+    [KC, Wp, C] f32/bf16, out_ref [TS, C]; optional win_ref [TS, C]
+    int32.  Everything stays in natural layouts: the one-hot is built
+    [Wp, TS] and contracted over its sublane dim, and the argmax
+    winner's row id comes from a second tiny matmul — no transposes.
     """
     kc = pl.program_id(2)
     win_ref = rest[0] if with_argmax else None
@@ -115,27 +125,41 @@ def _kernel(stride: int, Wp: int, with_argmax: bool,
     else:
         terms = (fw,)
 
-    iota_w = lax.broadcasted_iota(jnp.int32, (TS, Wp), 1)
+    iota_w = lax.broadcasted_iota(jnp.int32, (Wp, TS), 0)
+    contract0 = (((0,), (0,)), ((), ()))
     for g in range(_KC):
         k_global = kc * _KC + g                   # traced scalar is fine
-        col = idx_ref[:, g:g + 1]                           # [TS, 1]
-        rel = col - k_global * stride
+        row = idx_ref[g:g + 1, :]                           # [1, TS]
+        rel = row - k_global * stride
         # out-of-window slots are duplicate fills (see module docstring):
-        # their one-hot row is all-zero (no iota match) or matches a -BIG
-        # pad row, and the explicit select below bars them from the max
-        valid = (rel >= 0) & (rel < stride)                 # [TS, 1]
-        onehot = (rel == iota_w).astype(jnp.bfloat16)       # [TS, Wp]
+        # redirect them to pad row `stride`, which holds -BIG (Wp is
+        # always > stride — _windows pads at least one sentinel row), so
+        # they can never win the running max
+        rel = jnp.where((rel >= 0) & (rel < stride), rel, stride)
+        onehot = (iota_w == rel).astype(jnp.bfloat16)       # [Wp, TS]
         picked = jnp.zeros((TS, fw.shape[-1]), jnp.float32)
         for t in terms:
-            picked = picked + jnp.dot(onehot, t[g],
-                                      preferred_element_type=jnp.float32)
-        picked = jnp.where(valid, picked.astype(dtype),
-                           jnp.asarray(-_BIG, dtype))
+            picked = picked + lax.dot_general(
+                onehot, t[g], dimension_numbers=contract0,
+                preferred_element_type=jnp.float32)         # [TS, C]
+        picked = picked.astype(dtype)
         if with_argmax:
+            # winner's global source row, via the same one-hot: column
+            # sums of onehot * window_row_id land in [TS, 1] (exact in
+            # f32 for row ids < 2^24)
+            wid = (lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
+                   .astype(jnp.float32)
+                   + (k_global * stride).astype(jnp.float32))
+            rowid = lax.dot_general(
+                onehot.astype(jnp.float32) * wid,
+                jnp.ones((Wp, 1), jnp.float32),
+                dimension_numbers=contract0,
+                preferred_element_type=jnp.float32)         # [TS, 1]
             prev = out_ref[...]
             upd = picked > prev
             out_ref[...] = jnp.where(upd, picked, prev)
-            win_ref[...] = jnp.where(upd, col, win_ref[...])
+            win_ref[...] = jnp.where(upd, rowid.astype(jnp.int32),
+                                     win_ref[...])
         else:
             out_ref[...] = jnp.maximum(out_ref[...], picked)
 
@@ -163,7 +187,8 @@ def gather_max_pallas(feature: jax.Array, index: jax.Array, stride: int,
     _, S, K = index.shape
     assert K % _KC == 0, K
     assert K * stride >= N, (K, stride, N)
-    Wp = -(-stride // 128) * 128
+    # at least one pad row: row `stride` is the fill-redirect sentinel
+    Wp = (stride // 128 + 1) * 128
 
     fw = _windows(feature, K, stride, Wp)
     pad_s = (-S) % _TS
@@ -172,6 +197,7 @@ def gather_max_pallas(feature: jax.Array, index: jax.Array, stride: int,
         idx = jnp.pad(idx, ((0, 0), (0, pad_s), (0, 0)))
     Sp = S + pad_s
     TS = min(_TS, Sp)
+    idx_t = jnp.swapaxes(idx, 1, 2)                   # [B, K, Sp]
 
     out_shape = [jax.ShapeDtypeStruct((B, Sp, C), feature.dtype)]
     out_specs = [pl.BlockSpec((None, TS, C), lambda b, st, kc: (b, st, 0),
@@ -186,7 +212,7 @@ def gather_max_pallas(feature: jax.Array, index: jax.Array, stride: int,
         functools.partial(_kernel, stride, Wp, with_argmax),
         grid=(B, Sp // TS, K // _KC),
         in_specs=[
-            pl.BlockSpec((None, TS, _KC), lambda b, st, kc: (b, st, kc),
+            pl.BlockSpec((None, _KC, TS), lambda b, st, kc: (b, kc, st),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, _KC, Wp, C),
                          lambda b, st, kc: (b, kc, 0, 0),
@@ -195,7 +221,7 @@ def gather_max_pallas(feature: jax.Array, index: jax.Array, stride: int,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(idx, fw)
+    )(idx_t, fw)
 
     pooled = res[0][:, :S]
     if with_argmax:
@@ -235,7 +261,7 @@ def gather_max(feature: jax.Array, index: jax.Array,
 def _gather_max_impl(feature, index, stride: int, n: int):
     S, K = index.shape[1:]
     C = feature.shape[-1]
-    if use_pallas(S, K, C, stride) and K * stride >= n:
+    if use_pallas(S, K, C, stride, feature.dtype) and K * stride >= n:
         return gather_max_pallas(feature, index, stride)
     return _xla_pooled(feature, index)
 
@@ -243,7 +269,7 @@ def _gather_max_impl(feature, index, stride: int, n: int):
 def _gather_max_fwd(feature, index, stride, n):
     S, K = index.shape[1:]
     C = feature.shape[-1]
-    if use_pallas(S, K, C, stride) and K * stride >= n:
+    if use_pallas(S, K, C, stride, feature.dtype) and K * stride >= n:
         pooled, win = gather_max_pallas(feature, index, stride,
                                         with_argmax=True)
     else:

@@ -30,7 +30,7 @@ class TestFPSPallas:
         di = jnp.full(xyz.shape[:2], 1e10, jnp.float32)
         p = np.asarray(fps_pallas(xyz, di, 512))
         orig = F._use_pallas
-        F._use_pallas = lambda n, s: False
+        F._use_pallas = lambda *a: False
         try:
             l = np.asarray(F.farthest_point_sample(xyz, 512))
         finally:
@@ -46,7 +46,7 @@ class TestFPSPallas:
         di = jnp.where(jnp.asarray(mask), 1e10, -1.0)
         p = np.asarray(fps_pallas(xyz, di, 256))
         orig = F._use_pallas
-        F._use_pallas = lambda n, s: False
+        F._use_pallas = lambda *a: False
         try:
             l = np.asarray(F.farthest_point_sample(xyz, 256,
                                                    jnp.asarray(mask)))
@@ -191,3 +191,51 @@ class TestGroupPallas:
             if cnt[0, m] > 0:
                 d = np.linalg.norm(x0[idx[0, m]] - c0[m], axis=-1)
                 assert (d <= r + 1e-6).all()
+
+
+class TestGatherMaxPallas:
+    """Mosaic lowering + bit-exactness of the fused gather+max pooling
+    at the production shapes (interpret-mode semantics are covered on
+    CPU in tests/test_pallas_interpret.py)."""
+
+    def _idx(self, rng, S, N, K):
+        import regnet_for_3d_grasping_tpu.ops.pooling as gm  # noqa: F401
+        from regnet_for_3d_grasping_tpu.ops.sampling import (
+            bucket_choice, bucket_stride, hash_uniform)
+        mask = jnp.asarray(rng.rand(1, S, N) < 0.01)
+        noise = hash_uniform(jax.random.PRNGKey(5), mask.shape)
+        idx, av, _ = bucket_choice(mask, K, score=noise)
+        return jnp.where(av[..., None], idx, 0), bucket_stride(N, K)
+
+    def test_region_and_refine_shapes_exact(self):
+        import regnet_for_3d_grasping_tpu.ops.pooling as gm
+        rng = np.random.RandomState(0)
+        N, C = 25600, 256
+        feat = jnp.asarray(rng.randn(1, N, C).astype(np.float32))
+        for S, K in ((4000, 256), (4000, 64)):
+            idx, stride = self._idx(rng, S, N, K)
+            ref = gm._xla_pooled(feat, idx)
+            got = gm.gather_max_pallas(feat, idx, stride)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(ref))
+            got2, win = gm.gather_max_pallas(feat, idx, stride,
+                                             with_argmax=True)
+            np.testing.assert_array_equal(np.asarray(got2),
+                                          np.asarray(ref))
+            fb = feat.astype(jnp.bfloat16)
+            np.testing.assert_array_equal(
+                np.asarray(gm.gather_max_pallas(fb, idx, stride)),
+                np.asarray(gm._xla_pooled(fb, idx)))
+
+    def test_winner_rows_hold_pooled_values(self):
+        import regnet_for_3d_grasping_tpu.ops.pooling as gm
+        rng = np.random.RandomState(1)
+        N, C, S, K = 25600, 256, 512, 256
+        feat = jnp.asarray(rng.randn(1, N, C).astype(np.float32))
+        idx, stride = self._idx(rng, S, N, K)
+        pooled, win = gm.gather_max_pallas(feat, idx, stride,
+                                           with_argmax=True)
+        f = np.asarray(feat[0])
+        w = np.asarray(win[0])
+        np.testing.assert_array_equal(
+            f[w, np.arange(C)[None, :]], np.asarray(pooled[0]))
