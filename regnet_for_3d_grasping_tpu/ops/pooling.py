@@ -144,22 +144,27 @@ def _kernel(stride: int, Wp: int, with_argmax: bool,
                 preferred_element_type=jnp.float32)         # [TS, C]
         picked = picked.astype(dtype)
         if with_argmax:
-            # winner's global source row, via the same one-hot: column
-            # sums of onehot * window_row_id land in [TS, 1] (exact in
-            # f32 for row ids < 2^24)
-            wid = (lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
-                   .astype(jnp.float32)
-                   + (k_global * stride).astype(jnp.float32))
-            rowid = lax.dot_general(
-                onehot.astype(jnp.float32) * wid,
-                jnp.ones((Wp, 1), jnp.float32),
-                dimension_numbers=contract0,
-                preferred_element_type=jnp.float32)         # [TS, 1]
+            # winner's window-relative row, via the same one-hot, in the
+            # needed [TS, 1] orientation without a transpose.  The TPU
+            # default matmul truncates f32 operands to bf16 (8-bit
+            # mantissa — row ids above 256 would get mangled), so the
+            # iota is split into two bf16-EXACT integer parts < 256 and
+            # recombined after the dots.
+            w_iota = lax.broadcasted_iota(jnp.int32, (Wp, 1), 0)
+            w_hi = (w_iota // 256).astype(jnp.bfloat16)
+            w_lo = (w_iota % 256).astype(jnp.bfloat16)
+            hi = lax.dot_general(onehot, w_hi,
+                                 dimension_numbers=contract0,
+                                 preferred_element_type=jnp.float32)
+            lo = lax.dot_general(onehot, w_lo,
+                                 dimension_numbers=contract0,
+                                 preferred_element_type=jnp.float32)
+            rowid = (hi.astype(jnp.int32) * 256 + lo.astype(jnp.int32)
+                     + k_global * stride)                   # [TS, 1]
             prev = out_ref[...]
             upd = picked > prev
             out_ref[...] = jnp.where(upd, picked, prev)
-            win_ref[...] = jnp.where(upd, rowid.astype(jnp.int32),
-                                     win_ref[...])
+            win_ref[...] = jnp.where(upd, rowid, win_ref[...])
         else:
             out_ref[...] = jnp.maximum(out_ref[...], picked)
 
