@@ -24,15 +24,18 @@ from jax import lax
 
 _INF = jnp.float32(1e10)
 
-# Above this B*N*S work the Pallas kernel (ops/fps_pallas.py) wins by ~3x;
-# below it the lax.scan version is cheap and avoids a ~5min Mosaic compile
-# per shape variant (cached persistently thereafter — utils/cache.py).
+# Above this B*N*S work the Pallas kernel (ops/fps_pallas.py) wins on chip;
+# below it the lax.scan version avoids a ~5min Mosaic compile per shape
+# variant (cached persistently thereafter — utils/cache.py).  On-chip A/B
+# (v5e 2026-08-17): 25600x5120 3.3ms, 5120x1024 2.18ms (scan 4.96, 2.27x),
+# 1024x256 2.17ms (scan 2.55, 1.17x) — the kernel still wins at 2^18 work,
+# so every interior-FPS call site in the model dispatches to it.
 # The batch dim counts: grouped FPS (groups=G) runs as B*G slices of
 # N/G x S/G, whose per-slice product would otherwise fall under the
 # threshold and hit the scan path's per-step dispatch overhead
 # (tools/ab_kernels.py 2026-08-17: groups=8 measured SLOWER than exact
 # until the batched work was counted).
-_PALLAS_WORK_THRESHOLD = 1 << 23
+_PALLAS_WORK_THRESHOLD = 1 << 18
 
 
 def _use_pallas(n: int, num_samples: int, batch: int = 1) -> bool:
