@@ -47,6 +47,25 @@ def _use_pallas(n: int, num_samples: int, batch: int = 1) -> bool:
         return False
 
 
+def _dist_init(xyz: jax.Array, mask: jax.Array | None) -> jax.Array:
+    """Sentinel distance field: 1e10 for selectable points, -1 for masked
+    ones (they lose every argmax against valid points, whose min-distance
+    stays >= 0, so they're picked only once the valid set is exhausted).
+    Rows with no valid point fall back to all-valid; NaN points are
+    excluded — and, under shard_map, the mask arithmetic ties the scan
+    carry's varying-axes type to xyz (a constant-only carry breaks vma
+    typing)."""
+    B, N, _ = xyz.shape
+    if mask is None:
+        valid = jnp.ones((B, N), dtype=bool)
+    else:
+        valid = mask
+        any_valid = jnp.any(valid, axis=1, keepdims=True)
+        valid = jnp.where(any_valid, valid, True)
+    valid = valid & ~jnp.isnan(xyz[..., 0])
+    return jnp.where(valid, _INF, jnp.float32(-1.0))
+
+
 def farthest_point_sample(xyz: jax.Array, num_samples: int,
                           mask: jax.Array | None = None,
                           groups: int = 1) -> jax.Array:
@@ -86,25 +105,26 @@ def farthest_point_sample(xyz: jax.Array, num_samples: int,
         assert N % groups == 0 and num_samples % groups == 0, \
             (N, num_samples, groups)
         L = N // groups
+        s_per = num_samples // groups
+        if _use_pallas(L, s_per, B * groups):
+            # Fused kernel: all G slices advance in ONE sequential step
+            # (S/G total steps).  Routing slices through the batch axis
+            # instead serializes them on the single TensorCore and keeps
+            # the step count at S — measured only ~1.3x vs exact, where
+            # the fused kernel reaches ~Gx (tools/ab_kernels.py).
+            from regnet_for_3d_grasping_tpu.ops.fps_pallas import (
+                fps_pallas_grouped)
+            mg = None if mask is None else mask.reshape(B * groups, L)
+            dist = _dist_init(xyz.reshape(B * groups, L, 3), mg)
+            return fps_pallas_grouped(xyz, dist.reshape(B, N),
+                                      num_samples, groups)
         xg = xyz.reshape(B * groups, L, 3)
         mg = None if mask is None else mask.reshape(B * groups, L)
         idx = farthest_point_sample(xg, num_samples // groups, mg)
         offs = (jnp.arange(groups, dtype=jnp.int32) * L)[None, :, None]
         return (idx.reshape(B, groups, -1) + offs).reshape(B, num_samples)
 
-    if mask is None:
-        valid = jnp.ones((B, N), dtype=bool)
-    else:
-        valid = mask
-        any_valid = jnp.any(valid, axis=1, keepdims=True)
-        valid = jnp.where(any_valid, valid, True)
-    # Exclude NaN points, and — under shard_map — tie the scan carry's
-    # varying-axes type to xyz (a constant-only carry breaks vma typing).
-    valid = valid & ~jnp.isnan(xyz[..., 0])
-
-    # Invalid points carry a sentinel distance of -1 so they lose every argmax
-    # against valid points (whose min-distance is >= 0).
-    dist = jnp.where(valid, _INF, jnp.float32(-1.0))
+    dist = _dist_init(xyz, mask)
 
     if _use_pallas(N, num_samples, B):
         from regnet_for_3d_grasping_tpu.ops.fps_pallas import fps_pallas
@@ -113,7 +133,9 @@ def farthest_point_sample(xyz: jax.Array, num_samples: int,
         # (tools/ab_kernels.py, v5e 2026-08-16).
         return fps_pallas(xyz, dist, num_samples, version=2)
 
-    start = jnp.argmax(valid, axis=1).astype(jnp.int32)
+    # First pick = first valid point (jnp.argmax returns the first max,
+    # and valid sentinels 1e10 dominate the -1 invalid ones).
+    start = jnp.argmax(dist, axis=1).astype(jnp.int32)
 
     def step(carry, _):
         dist, farthest = carry

@@ -48,6 +48,27 @@ class TestFPSInterpret:
         p = np.asarray(fps_pallas(xyz, dist, 16, interpret=True))
         np.testing.assert_array_equal(p, lax_idx)
 
+    def test_grouped_matches_lax(self):
+        """Fused grouped kernel == routing the G slices through the batch
+        axis of the lax path, masked and unmasked (bit-identical)."""
+        import regnet_for_3d_grasping_tpu.ops.fps as F
+        from regnet_for_3d_grasping_tpu.ops.fps_pallas import (
+            fps_pallas_grouped)
+        rng = np.random.RandomState(7)
+        Bg, Ng, G, S = 2, 1024, 4, 64
+        L = Ng // G
+        xyz = jnp.asarray(rng.rand(Bg, Ng, 3).astype(np.float32))
+        offs = (np.arange(G, dtype=np.int32) * L)[None, :, None]
+        for mask in (None, jnp.asarray(rng.rand(Bg, Ng) < 0.6)):
+            mg = None if mask is None else mask.reshape(Bg * G, L)
+            lax_idx = np.asarray(F.farthest_point_sample(
+                xyz.reshape(Bg * G, L, 3), S // G, mg))
+            ref = (lax_idx.reshape(Bg, G, -1) + offs).reshape(Bg, S)
+            dist = F._dist_init(xyz.reshape(Bg * G, L, 3), mg)
+            got = np.asarray(fps_pallas_grouped(
+                xyz, dist.reshape(Bg, Ng), S, G, interpret=True))
+            np.testing.assert_array_equal(got, ref)
+
 
 class TestThreeNNInterpret:
     def test_matches_xla(self, cloud):

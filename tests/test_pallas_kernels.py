@@ -54,6 +54,36 @@ class TestFPSPallas:
             F._use_pallas = orig
         np.testing.assert_array_equal(p, l)
 
+    def test_grouped_matches_lax(self, clouds):
+        """Fused grouped kernel (all G slices advancing in one sequential
+        step) must be bit-identical to routing the slices through the
+        batch axis of the lax path — this is what the model's
+        fps_groups>1 config dispatches to on chip."""
+        import regnet_for_3d_grasping_tpu.ops.fps as F
+        from regnet_for_3d_grasping_tpu.ops.fps_pallas import (
+            fps_pallas_grouped)
+        xyz, _ = clouds
+        Bg, Ng = xyz.shape[:2]
+        G, S = 8, 512
+        L = Ng // G
+        mask = np.zeros((Bg, Ng), bool)
+        mask[:, 100:20000] = True
+        offs = (np.arange(G, dtype=np.int32) * L)[None, :, None]
+        orig = F._use_pallas
+        F._use_pallas = lambda *a: False
+        try:
+            for m in (None, jnp.asarray(mask)):
+                mg = None if m is None else m.reshape(Bg * G, L)
+                lax_idx = np.asarray(F.farthest_point_sample(
+                    xyz.reshape(Bg * G, L, 3), S // G, mg))
+                ref = (lax_idx.reshape(Bg, G, -1) + offs).reshape(Bg, S)
+                dist = F._dist_init(xyz.reshape(Bg * G, L, 3), mg)
+                got = np.asarray(fps_pallas_grouped(
+                    xyz, dist.reshape(Bg, Ng), S, G))
+                np.testing.assert_array_equal(got, ref)
+        finally:
+            F._use_pallas = orig
+
     def test_v2_matches_v1(self, clouds):
         """The aligned-tile centroid extraction (v2) must be bit-identical
         to the masked-reduction kernel, unmasked and masked."""
