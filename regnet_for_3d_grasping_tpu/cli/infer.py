@@ -146,7 +146,13 @@ def main(argv=None):
             variables = jax.jit(lambda: model.init(
                 {"params": jax.random.PRNGKey(0),
                  "sampling": jax.random.PRNGKey(1)}, x))()
-            if args.checkpoint:
+            if args.checkpoint.endswith(".npz"):
+                # git-tracked weight artifact (utils/checkpoint.py
+                # export_weights_npz)
+                variables, epoch = ckpt.load_weights_npz(args.checkpoint)
+                print(f"loaded weights (epoch {epoch}) "
+                      f"from {args.checkpoint}")
+            elif args.checkpoint:
                 # train checkpoints carry optimizer state too; restore
                 # untargeted and keep the inference subset (plain dicts
                 # are fine for model.apply)

@@ -13,6 +13,7 @@ import re
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -49,3 +50,49 @@ def restore_checkpoint(base_dir: str, epoch: Optional[int] = None,
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path, item=target)
     return restored, epoch + 1
+
+
+# --- git-trackable weight artifacts -------------------------------------
+#
+# Orbax checkpoint trees live under the gitignored assets/ directory, which
+# does not survive across build rounds; the canonical frozen-suite metrics
+# (tools/benchmark_eval.py) must stay reproducible from a COMMITTED
+# artifact.  These helpers flatten {params, batch_stats} to a single
+# compressed .npz with '/'-joined key paths — exact f32 values, so metrics
+# reproduce bit-for-bit.  The reference analogously ships its trained
+# `.model` files in-repo (test_file/, README "pretrained models").
+
+def _flatten(tree: Any, prefix: str, out: dict) -> None:
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(v, f"{prefix}/{k}" if prefix else str(k), out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def export_weights_npz(path: str, restored: Any, epoch: int) -> None:
+    """Write params + batch_stats (NOT optimizer state) from a restored
+    checkpoint dict to one compressed npz, with the epoch recorded."""
+    flat: dict = {}
+    _flatten(restored["params"], "params", flat)
+    _flatten(restored.get("batch_stats", {}), "batch_stats", flat)
+    flat["__epoch__"] = np.asarray(epoch, np.int32)
+    np.savez_compressed(path, **flat)
+
+
+def load_weights_npz(path: str) -> tuple[dict, int]:
+    """Returns ({"params": ..., "batch_stats": ...}, epoch) with nested
+    dicts rebuilt from the '/'-joined npz keys — directly usable as flax
+    apply() variables."""
+    data = np.load(path)
+    variables: dict = {"params": {}, "batch_stats": {}}
+    epoch = int(data["__epoch__"])
+    for key in data.files:
+        if key == "__epoch__":
+            continue
+        parts = key.split("/")
+        node = variables
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return variables, epoch

@@ -177,6 +177,30 @@ class TestCheckpoint:
             st2, metrics = step(st2, batch, jax.random.PRNGKey(9))
             assert np.isfinite(float(metrics["stage1_loss_score"]))
 
+    def test_npz_weights_roundtrip(self, cfg, dataset):
+        """Git-trackable weight artifact: export drops optimizer state,
+        load rebuilds apply()-ready variables with exact f32 values."""
+        import os
+        model, optimizer, state, batch = _setup(cfg, dataset, "score")
+        sd = state._asdict()
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "w.npz")
+            ckpt.export_weights_npz(path, sd, epoch=7)
+            variables, epoch = ckpt.load_weights_npz(path)
+            assert epoch == 7
+            assert set(variables) == {"params", "batch_stats"}
+            ref = {"params": sd["params"],
+                   "batch_stats": sd["batch_stats"]}
+            ra, rb = jax.tree.flatten_with_path(ref)[0], \
+                jax.tree.flatten_with_path(variables)[0]
+            assert [k for k, _ in ra] == [k for k, _ in rb]
+            for (_, a), (_, b) in zip(ra, rb):
+                np.testing.assert_array_equal(np.asarray(a), b)
+            # loaded variables drive a forward pass unchanged
+            out = model.apply(variables, batch.pc[:1],
+                              rngs={"sampling": jax.random.PRNGKey(0)})
+            assert np.isfinite(np.asarray(out.score)).all()
+
 
 class TestDataset:
     def test_split_semantics(self, cfg, data_dir):

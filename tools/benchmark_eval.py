@@ -88,11 +88,15 @@ def main():
         v, x, train=False, rngs={"sampling": k}))
     g = cfg.gripper
 
-    epoch = args.epoch if args.epoch >= 0 else \
-        ckpt.latest_epoch(args.checkpoint)
-    restored, _ = ckpt.restore_checkpoint(args.checkpoint, epoch=epoch)
-    variables = {"params": restored["params"],
-                 "batch_stats": restored["batch_stats"]}
+    if args.checkpoint.endswith(".npz"):
+        # git-tracked weight artifact (survives the per-round assets wipe)
+        variables, epoch = ckpt.load_weights_npz(args.checkpoint)
+    else:
+        epoch = args.epoch if args.epoch >= 0 else \
+            ckpt.latest_epoch(args.checkpoint)
+        restored, _ = ckpt.restore_checkpoint(args.checkpoint, epoch=epoch)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
 
     stage_keys = {"stage2": "grasp_stage2", "stage3": "grasp_stage3",
                   "stage3_score": "grasp_stage3_score"}
