@@ -1,14 +1,16 @@
-"""Pallas TPU kernel for the bucketed ball query (EXPERIMENTAL).
+"""Pallas TPU kernel for the bucketed ball query.
 
 Fuses distance computation, the radius mask and the per-bucket first-hit
 selection of ops/ball_query.py's bucket method into one VMEM-resident
-program.  Measured at the SA1 shapes it is only ~4% faster than the XLA
-bucket path (both are VPU-compute-bound, unlike the HBM-bound top_k the
-bucket method replaced), so it is NOT auto-dispatched — kept as the
-starting point if ball query ever needs fusing with its consumers.  It
-computes exact diff-square distances, so boundary membership can differ
-from the expansion-form bpdist2 by f32 rounding (the kernel is the more
-accurate of the two).
+program.  Auto-dispatched on TPU above the work threshold in
+ops/ball_query.py (1.7x vs the XLA bucket path at the SA1 shape,
+tools/ab_kernels.py 2026-08-16).  version=1 computes exact diff-square
+distances, so boundary membership can differ from the expansion-form
+bpdist2 by f32 rounding (the kernel is the more accurate of the two);
+version=2 moves the distance cross term to the MXU (expansion form, f32
+HIGHEST — same accuracy class as the XLA path's bpdist2) and folds the
+per-centroid norm into the radius threshold, roughly halving the
+per-pair VPU work.
 
 Grid: (B, centroid tiles, bucket groups of 8), innermost last; each cell
 scores 8 [128-centroid x L-point] blocks and emits those buckets' winners.
@@ -69,10 +71,57 @@ def _bq_kernel(r2: float, n_valid: int, L: int, x_ref, c_ref, idx_out,
         first_out[0, :] = first_acc[0, :]
 
 
+def _bq_kernel_v2(r2: float, n_valid: int, L: int, x_ref, c_ref, idx_out,
+                  cnt_out, first_out, cnt_acc, first_acc):
+    """Membership test ``|x-c|^2 < r^2`` rewritten as
+    ``|x|^2 - 2 c.x < r^2 - |c|^2``: the cross term rides the MXU and the
+    centroid norm shifts the per-row threshold ONCE instead of entering
+    every pair — ~half the VPU passes of the diff-square kernel.
+    Padded points/centroids sit at 1e10 so their norms exceed any
+    threshold and they never match."""
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        cnt_acc[:] = jnp.zeros(cnt_acc.shape, jnp.int32)
+        first_acc[:] = jnp.full(first_acc.shape, -1, jnp.int32)
+
+    thresh = (r2 - (jnp.square(c_ref[0, :]) + jnp.square(c_ref[1, :])
+                    + jnp.square(c_ref[2, :])))[:, None]       # [TM, 1]
+    for g in range(_G):
+        xg = x_ref[:, g * L:(g + 1) * L]                       # [3, L]
+        xn = (jnp.square(xg[0, :]) + jnp.square(xg[1, :])
+              + jnp.square(xg[2, :]))                          # [L]
+        cx = lax.dot_general(c_ref[:], xg,
+                             (((0,), (0,)), ((), ())),
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)  # [TM, L]
+        col_base = (k * _G + g) * L
+        cols = lax.broadcasted_iota(jnp.int32, cx.shape, 1)
+        mask = ((xn[None, :] - 2.0 * cx < thresh)
+                & (col_base + cols < n_valid))
+
+        best_col = jnp.min(jnp.where(mask, cols, L), axis=1)   # [TM]
+        bucket_valid = best_col < L
+        win = col_base + jnp.minimum(best_col, L - 1)
+
+        idx_out[g, :] = jnp.where(bucket_valid, win, -1)
+        cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
+                                                dtype=jnp.int32)
+        first_acc[0, :] = jnp.where((first_acc[0, :] < 0) & bucket_valid,
+                                    win, first_acc[0, :])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        cnt_out[0, :] = cnt_acc[0, :]
+        first_out[0, :] = first_acc[0, :]
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "num_neighbours",
-                                             "interpret"))
+                                             "version", "interpret"))
 def ball_query_pallas(xyz: jax.Array, centers: jax.Array, radius: float,
-                      num_neighbours: int,
+                      num_neighbours: int, version: int = 1,
                       interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Bucketed ball query (see ops/ball_query.py) as a fused kernel.
 
@@ -95,8 +144,9 @@ def ball_query_pallas(xyz: jax.Array, centers: jax.Array, radius: float,
         c = jnp.pad(c, ((0, 0), (0, 0), (0, mpad)), constant_values=1e10)
     Mp = M + mpad
 
+    kernel = _bq_kernel if version == 1 else _bq_kernel_v2
     idx, cnt, first = pl.pallas_call(
-        functools.partial(_bq_kernel, float(radius) ** 2, N, L),
+        functools.partial(kernel, float(radius) ** 2, N, L),
         grid=(B, Mp // _TM, K // _G),
         in_specs=[
             pl.BlockSpec((None, 3, _G * L), lambda b, mt, k: (b, 0, k),

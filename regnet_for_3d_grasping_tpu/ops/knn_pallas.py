@@ -81,14 +81,73 @@ def _knn_kernel(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
         i_out[:, 3] = jnp.zeros((i_out.shape[0],), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _knn_kernel_v2(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
+                   best_d, best_i):
+    """Expansion-form distances with the cross term on the MXU.
+
+    The v1 kernel's per-pair diff-square costs ~9 VPU ops; here
+    ``d2 - |q|^2 = |k|^2 - 2 q.k`` runs as one [TM,3]x[3,L] matmul
+    (f32 HIGHEST — the TPU default would truncate to bf16 and flip
+    near-tie neighbour picks) plus two cheap passes.  The per-row
+    constant |q|^2 cannot change each row's top-3 *order*, so it is
+    added once to the three winners at the end instead of to all
+    [TM, L] candidates — the returned distances are full squared
+    distances, matching ops/knn.py's bpdist2 expansion form.
+    """
+    s = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        best_d[:] = jnp.full(best_d.shape, _INF, jnp.float32)
+        best_i[:] = jnp.zeros(best_i.shape, jnp.int32)
+
+    kn = (jnp.square(k_ref[0, :]) + jnp.square(k_ref[1, :])
+          + jnp.square(k_ref[2, :]))                       # [L]
+    qk = lax.dot_general(q_ref[:], k_ref[:],
+                         (((0,), (0,)), ((), ())),
+                         precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # [TM, L]
+    d2 = kn[None, :] - 2.0 * qk
+    col_base = s * _L
+    cols = col_base + lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2 = jnp.where(cols < n_valid_keys, d2, _INF)
+
+    cd, ci = _extract_top3(d2, col_base)
+    alld = jnp.concatenate([best_d[:, :3], cd], axis=1)
+    alli = jnp.concatenate([best_i[:, :3], ci], axis=1)
+    slot = lax.broadcasted_iota(jnp.int32, alld.shape, 1)
+    nd, ni = [], []
+    for _ in range(3):
+        m = jnp.min(alld, axis=1)
+        am = jnp.min(jnp.where(alld == m[:, None], slot, 6), axis=1)
+        nd.append(m)
+        ni.append(jnp.sum(jnp.where(slot == am[:, None], alli, 0), axis=1))
+        alld = jnp.where(slot == am[:, None], _INF, alld)
+    best_d[:, :3] = jnp.stack(nd, axis=1)
+    best_i[:, :3] = jnp.stack(ni, axis=1).astype(jnp.int32)
+
+    @pl.when(s == n_s - 1)
+    def _():
+        qn = (jnp.square(q_ref[0, :]) + jnp.square(q_ref[1, :])
+              + jnp.square(q_ref[2, :]))                   # [TM]
+        d_out[:, :3] = best_d[:, :3] + qn[:, None]
+        d_out[:, 3] = jnp.zeros((d_out.shape[0],), jnp.float32)
+        i_out[:, :3] = best_i[:, :3]
+        i_out[:, 3] = jnp.zeros((i_out.shape[0],), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("version", "interpret"))
 def three_nn_pallas(query: jax.Array, key: jax.Array,
+                    version: int = 1,
                     interpret: bool = False
                     ) -> tuple[jax.Array, jax.Array]:
     """query [B, N1, 3], key [B, N2, 3] -> (idx [B, N1, 3], d2 [B, N1, 3]).
 
     Results match ops/knn.three_nn (ascending squared distances; ties
-    resolved to the smallest key index).
+    resolved to the smallest key index).  version=2 computes the distance
+    cross term on the MXU (expansion form, like the XLA path's bpdist2);
+    version=1 keeps the diff-square VPU form.
     """
     B, N1, _ = query.shape
     N2 = key.shape[1]
@@ -102,8 +161,9 @@ def three_nn_pallas(query: jax.Array, key: jax.Array,
         k = jnp.pad(k, ((0, 0), (0, 0), (0, kpad)), constant_values=1e10)
     N1p, N2p = N1 + qpad, N2 + kpad
 
+    kernel = _knn_kernel if version == 1 else _knn_kernel_v2
     d_out, i_out = pl.pallas_call(
-        functools.partial(_knn_kernel, N2),
+        functools.partial(kernel, N2),
         grid=(B, N1p // _TM, N2p // _L),
         in_specs=[
             pl.BlockSpec((None, 3, _TM), lambda b, qt, s: (b, 0, qt),

@@ -77,10 +77,12 @@ class TestThreeNNInterpret:
             three_nn_pallas)
         xyz, centers = cloud
         ri, rd = three_nn(centers, xyz)
-        pi, pd = three_nn_pallas(centers, xyz, interpret=True)
-        np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
-        np.testing.assert_allclose(np.asarray(pd), np.asarray(rd),
-                                   rtol=1e-5, atol=1e-6)
+        for version in (1, 2):
+            pi, pd = three_nn_pallas(centers, xyz, version=version,
+                                     interpret=True)
+            np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+            np.testing.assert_allclose(np.asarray(pd), np.asarray(rd),
+                                       rtol=1e-5, atol=1e-6)
 
 
 class TestBallQueryInterpret:
@@ -89,16 +91,18 @@ class TestBallQueryInterpret:
             ball_query_pallas)
         xyz, centers = cloud
         radius, K = 0.25, 16
-        idx, cnt = ball_query_pallas(xyz, centers, radius, K,
-                                     interpret=True)
-        idx, cnt = np.asarray(idx), np.asarray(cnt)
-        d2 = np.sum((np.asarray(centers)[:, :, None]
-                     - np.asarray(xyz)[:, None]) ** 2, -1)
-        inside = d2 <= radius ** 2
-        np.testing.assert_array_equal(cnt, np.minimum(inside.sum(-1), K))
-        rows = inside.any(-1)
-        picked = np.take_along_axis(inside, idx, axis=-1)
-        assert picked[rows].all()
+        for version in (1, 2):
+            idx, cnt = ball_query_pallas(xyz, centers, radius, K,
+                                         version=version, interpret=True)
+            idx, cnt = np.asarray(idx), np.asarray(cnt)
+            d2 = np.sum((np.asarray(centers)[:, :, None]
+                         - np.asarray(xyz)[:, None]) ** 2, -1)
+            inside = d2 <= radius ** 2
+            np.testing.assert_array_equal(cnt,
+                                          np.minimum(inside.sum(-1), K))
+            rows = inside.any(-1)
+            picked = np.take_along_axis(inside, idx, axis=-1)
+            assert picked[rows].all()
 
 
 class TestCropInterpret:

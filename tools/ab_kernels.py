@@ -194,6 +194,42 @@ def main():
                                                    groups=G),
               xyz, jnp.asarray(rng.random((1, N)) < 0.3), iters=it)
 
+    print("\n-- ball-query kernel version (SA1 shape: 5120 x %d) --" % N)
+    from regnet_for_3d_grasping_tpu.ops.ball_query_pallas import (
+        ball_query_pallas)
+    c5120 = xyz[:, :5120]
+    a = bench("ball_query_pallas v1 (diff-square VPU)",
+              lambda x, c: ball_query_pallas(x, c, 0.07, 64,
+                                             version=1)[1],
+              xyz, c5120, iters=it)
+    b = bench("ball_query_pallas v2 (MXU cross term)",
+              lambda x, c: ball_query_pallas(x, c, 0.07, 64,
+                                             version=2)[1],
+              xyz, c5120, iters=it)
+    c1 = ball_query_pallas(xyz, c5120, 0.07, 64, version=1)[1]
+    c2 = ball_query_pallas(xyz, c5120, 0.07, 64, version=2)[1]
+    dmax = int(jnp.max(jnp.abs(c1.astype(jnp.int32)
+                               - c2.astype(jnp.int32))))
+    print(f"   => v2/v1 = {b / a:.3f}x   max count diff {dmax} "
+          "(f32 boundary rounding)")
+
+    print("\n-- three-NN kernel version (FP3 shape: %d queries x 5120 "
+          "keys) --" % N)
+    from regnet_for_3d_grasping_tpu.ops.knn_pallas import three_nn_pallas
+    keys5120 = xyz[:, :5120]
+    a = bench("three_nn_pallas v1 (diff-square VPU)",
+              lambda q, k: three_nn_pallas(q, k, version=1)[1],
+              xyz, keys5120, iters=it)
+    b = bench("three_nn_pallas v2 (MXU cross term)",
+              lambda q, k: three_nn_pallas(q, k, version=2)[1],
+              xyz, keys5120, iters=it)
+    i1, d1 = three_nn_pallas(xyz, keys5120, version=1)
+    i2, d2 = three_nn_pallas(xyz, keys5120, version=2)
+    same = float(jnp.mean((i1 == i2).astype(jnp.float32)))
+    derr = float(jnp.max(jnp.abs(d1 - d2)))
+    print(f"   => v2/v1 = {b / a:.3f}x   idx agree {same:.5f}  "
+          f"max |d2 err| {derr:.2e}")
+
     print("\n-- FPS kernel version (N=%d -> S) --" % N)
     dist = jnp.full((1, N), 1e10, jnp.float32)
     for S in (5120, NC):
