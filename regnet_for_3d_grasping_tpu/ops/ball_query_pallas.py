@@ -10,7 +10,10 @@ bpdist2 by f32 rounding (the kernel is the more accurate of the two);
 version=2 moves the distance cross term to the MXU (expansion form, f32
 HIGHEST — same accuracy class as the XLA path's bpdist2) and folds the
 per-centroid norm into the radius threshold, roughly halving the
-per-pair VPU work.
+per-pair VPU work — but measured 3.2x SLOWER on chip (v5e 2026-08-17):
+Mosaic pays transpose/padding layout moves to feed [TM,3]x[3,L] matmuls
+(contraction dim 3 vs the 8-sublane tile) that dwarf the VPU savings.
+Kept as a documented negative result; version=1 is the dispatch.
 
 Grid: (B, centroid tiles, bucket groups of 8), innermost last; each cell
 scores 8 [128-centroid x L-point] blocks and emits those buckets' winners.

@@ -93,6 +93,11 @@ def _knn_kernel_v2(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
     added once to the three winners at the end instead of to all
     [TM, L] candidates — the returned distances are full squared
     distances, matching ops/knn.py's bpdist2 expansion form.
+
+    Measured 1.25x SLOWER than v1 on chip (v5e 2026-08-17): the MXU
+    matmul's contraction dim of 3 forces Mosaic layout moves that cost
+    more than the saved VPU passes (same finding, amplified, for the
+    ball-query v2 kernel).  Documented negative result; v1 dispatches.
     """
     s = pl.program_id(2)
     n_s = pl.num_programs(2)
