@@ -61,6 +61,9 @@ class RegionGroups(NamedTuple):
     index: jax.Array    # [B, NC, G] indices into N
     points: jax.Array | None   # [B, NC, G, C] (None when with_points=False)
     valid: jax.Array    # [B, NC] bool — region had >=1 point in radius
+    # selection-span origin when the sorted-slab kernel produced `index`
+    # (consumed by ops/slab.gather_max_slab); None on the full-scan paths
+    slab_off: jax.Array | None = None
 
 
 def group_stride(nc: int, n: int, group_num: int) -> int:
@@ -86,7 +89,8 @@ def dense_crop_stride(nc: int, n: int, gripper_num: int) -> int:
 def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
                   group_num: int, radius: float,
                   center_chunk: int = 1024,
-                  with_points: bool = True) -> RegionGroups:
+                  with_points: bool = True,
+                  sorted_cloud=None, cell: float = 0.0) -> RegionGroups:
     """Sample `group_num` points within `radius` of each center.
 
     Over-populated regions get a uniform subset without replacement,
@@ -94,12 +98,28 @@ def group_regions(key: jax.Array, pc: jax.Array, centers: jax.Array,
     equivalent of the reference's np.random.choice(replace=True/False)
     (get_regiondataset.py:330-341).  Chunked over centers to bound the
     [NC, N] distance matrix (matters for the 4000-center inference preset).
+
+    When `sorted_cloud` (ops/slab.SortedCloud over the SAME rows as `pc`)
+    is given and the shapes qualify, the sorted-slab kernel dispatches:
+    only each center tile's spatial slab is scanned and the selection is
+    slab-stratified (ops/slab.py); counts/validity stay exact.
     """
     B, N, _ = pc.shape
     NC = centers.shape[1]
     r2 = jnp.float32(radius * radius)
     xyz = pc[..., :3].astype(jnp.float32)
     cxyz = centers[..., :3].astype(jnp.float32)
+
+    if sorted_cloud is not None and _use_slab_group(N, group_num):
+        from regnet_for_3d_grasping_tpu.ops import slab as _slab
+        seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[-1]
+        idx, count, sel_any, off = _slab.group_slab(
+            sorted_cloud, cxyz, seed, radius, group_num, cell,
+            interpret=SLAB_INTERPRET)
+        valid = (count > 0) & sel_any
+        idx = jnp.where(valid[..., None], idx, 0)
+        points = ops.group_points(pc, idx) if with_points else None
+        return RegionGroups(idx, points, valid, off)
 
     if _use_pallas_group(NC, N, group_num):
         from regnet_for_3d_grasping_tpu.ops.group_pallas import (
@@ -199,6 +219,8 @@ class ClosingRegion(NamedTuple):
     points: jax.Array | None  # [B, NC, K, C] gripper-frame xyz + colors
     index_in_all: jax.Array   # [B, NC, K] indices into the full cloud
     valid: jax.Array          # [B, NC] bool — > min_points in the gripper
+    # see RegionGroups.slab_off
+    slab_off: jax.Array | None = None
 
 
 def closing_region_crop(key: jax.Array, pc: jax.Array,
@@ -264,6 +286,25 @@ def closing_region_crop(key: jax.Array, pc: jax.Array,
 _PALLAS_CROP_THRESHOLD: int | None = 1 << 24
 _PALLAS_GROUP_THRESHOLD: int | None = None
 
+# tests set this to run the sorted-slab kernels in interpret mode on CPU
+SLAB_INTERPRET: bool = False
+
+
+def _use_slab_group(n: int, group_num: int) -> bool:
+    from regnet_for_3d_grasping_tpu.ops import slab as _slab
+    return (group_num % 64 == 0
+            and _slab.group_span_blocks(group_num)
+            <= _slab.n_scan_blocks(n)
+            and (_on_tpu() or SLAB_INTERPRET))
+
+
+def _use_slab_crop(n: int, gripper_num: int) -> bool:
+    from regnet_for_3d_grasping_tpu.ops import slab as _slab
+    return (gripper_num % 8 == 0
+            and _slab.crop_span_blocks(gripper_num)
+            <= _slab.n_scan_blocks(n)
+            and (_on_tpu() or SLAB_INTERPRET))
+
 
 def _on_tpu() -> bool:
     try:
@@ -287,7 +328,9 @@ def _use_pallas_group(m: int, n: int, group_num: int) -> bool:
 def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
                               grasp: jax.Array, gripper: GripperConfig,
                               gripper_num: int, min_points: int = 5,
-                              proposal_chunk: int = 512) -> ClosingRegion:
+                              proposal_chunk: int = 512,
+                              sorted_cloud=None,
+                              cell: float = 0.0) -> ClosingRegion:
     """Closing-region crop tested against the FULL cloud, gather-free.
 
     The reference (and `closing_region_crop`) first subsamples a wide
@@ -303,6 +346,18 @@ def closing_region_crop_dense(key: jax.Array, pc: jax.Array,
     NC = grasp.shape[1]
     frame, center = grasps_to_frames(grasp)
     xyz = pc[..., :3].astype(jnp.float32)
+
+    if sorted_cloud is not None and _use_slab_crop(N, gripper_num):
+        from regnet_for_3d_grasping_tpu.ops import slab as _slab
+        seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[-1]
+        box = (0.0, gripper.depth / 2, gripper.width / 2,
+               gripper.height / 2)
+        idx, count, sel_any, off = _slab.crop_slab(
+            sorted_cloud, frame, center, seed, box, gripper_num, cell,
+            interpret=SLAB_INTERPRET)
+        valid = (count > min_points) & sel_any
+        idx = jnp.where(sel_any[..., None], idx, 0)
+        return ClosingRegion(None, idx, valid, off)
 
     if _use_pallas_crop(NC, N, gripper_num):
         from regnet_for_3d_grasping_tpu.ops.crop_pallas import (

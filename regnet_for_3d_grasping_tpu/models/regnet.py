@@ -27,6 +27,7 @@ from regnet_for_3d_grasping_tpu import ops
 from regnet_for_3d_grasping_tpu.geometry.codec import (
     anchor_templates,
 )
+from regnet_for_3d_grasping_tpu.geometry import region as region_mod
 from regnet_for_3d_grasping_tpu.geometry.region import (
     closing_region_crop_dense,
     dense_crop_stride,
@@ -105,29 +106,58 @@ class REGNet(nn.Module):
         cfg = self.cfg
         region = cfg.region
 
-        feature, score = self.score_net(pc, train=train)
-
         key = self.make_rng("sampling")
+        # --- sorted-slab mode (region.slab_cell > 0): order the cloud by
+        # (x-cell, random-within-cell) BEFORE the backbone.  Every stage
+        # is permutation-equivariant, so all per-point outputs simply
+        # come out in slab order (clouds are sets — exporters/evaluator
+        # are order-agnostic), and the grouping/crop kernels can scan
+        # only each query tile's spatial slab (ops/slab.py).
+        sc = None
+        if region.slab_cell > 0.0:
+            from regnet_for_3d_grasping_tpu.ops import slab as slab_ops
+            key, k_sort = jax.random.split(key)
+            pc, sc = slab_ops.sort_cloud(k_sort, pc, region.slab_cell)
         k_group, k_crop = jax.random.split(key)
+
+        feature, score = self.score_net(pc, train=train)
 
         # --- GRN: candidate centers + two region scales ------------------
         centers, center_idx = select_score_centers(
             pc, score, region.center_num, region.score_thre,
             groups=region.center_fps_groups)
+        if sc is not None:
+            # sort centers by x so each 128-center tile spans a narrow
+            # slab (locality only — correctness is tile-independent)
+            c_ord = jnp.argsort(centers[..., 0], axis=-1).astype(jnp.int32)
+            centers = jnp.take_along_axis(centers, c_ord[..., None],
+                                          axis=1)
+            center_idx = jnp.take_along_axis(center_idx, c_ord, axis=1)
         # indices only — the cascade consumes backbone features gathered by
         # index, never the raw grouped points; the wide (group_num_more)
         # scale is not needed at all since the closing-region crop tests
         # the full cloud directly (closing_region_crop_dense)
         groups = group_regions(k_group, pc, centers, region.group_num,
-                               cfg.group_radius, with_points=False)
+                               cfg.group_radius, with_points=False,
+                               sorted_cloud=sc, cell=region.slab_cell)
 
         # pooled per-region backbone feature (grn:389-395 + the head's
         # MaxPool1d) — fused gather+max, the [B,NC,G,C] gather is never
-        # materialized (ops/pooling.py)
-        pooled = ops.gather_max(
-            feature, groups.index,
-            stride=group_stride(region.center_num, pc.shape[1],
-                                region.group_num))
+        # materialized (ops/pooling.py; slab variant when the slab
+        # grouping produced the indices)
+        if groups.slab_off is not None:
+            from regnet_for_3d_grasping_tpu.ops import slab as slab_ops
+            pooled = slab_ops.gather_max_slab_vjp(
+                feature, groups.index, groups.slab_off,
+                slab_ops.GROUP_WIN, slab_ops.GROUP_SPW,
+                region_mod.SLAB_INTERPRET)
+            pooled = jnp.where(groups.valid[..., None], pooled,
+                               jnp.zeros((), pooled.dtype))
+        else:
+            pooled = ops.gather_max(
+                feature, groups.index,
+                stride=group_stride(region.center_num, pc.shape[1],
+                                    region.group_num))
         cls_logits, reg = self.grn_head(pooled, train=train)
         anchor_idx = jnp.argmax(cls_logits, axis=-1)
         proposals = decode_proposals(reg, anchor_idx,
@@ -146,12 +176,24 @@ class REGNet(nn.Module):
                 k_it = jax.random.fold_in(k_crop, it)
                 crop = closing_region_crop_dense(
                     k_it, pc, cur, cfg.gripper,
-                    region.gripper_num, region.min_region_points)
-                pooled_grip = ops.gather_max(
-                    feature, crop.index_in_all,
-                    stride=dense_crop_stride(region.center_num,
-                                             pc.shape[1],
-                                             region.gripper_num))
+                    region.gripper_num, region.min_region_points,
+                    sorted_cloud=sc, cell=region.slab_cell)
+                if crop.slab_off is not None:
+                    from regnet_for_3d_grasping_tpu.ops import (
+                        slab as slab_ops)
+                    pooled_grip = slab_ops.gather_max_slab_vjp(
+                        feature, crop.index_in_all, crop.slab_off,
+                        slab_ops.CROP_WIN, slab_ops.CROP_SPW,
+                        region_mod.SLAB_INTERPRET)
+                    pooled_grip = jnp.where(
+                        crop.valid[..., None], pooled_grip,
+                        jnp.zeros((), pooled_grip.dtype))
+                else:
+                    pooled_grip = ops.gather_max(
+                        feature, crop.index_in_all,
+                        stride=dense_crop_stride(region.center_num,
+                                                 pc.shape[1],
+                                                 region.gripper_num))
                 refine_logits, refine_reg = self.refine_head(
                     pooled_grip, pooled, train=train)
                 nxt = jnp.concatenate(

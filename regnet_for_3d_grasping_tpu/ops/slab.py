@@ -1,0 +1,623 @@
+"""Sorted-slab Pallas kernels: radius grouping, closing-region crop and
+fused pooling that scan only each query tile's spatial slab.
+
+The full-scan kernels (ops/group_pallas.py, ops/crop_pallas.py) and the
+XLA bucket paths test every (query, point) pair: ~10^8 pairs per stage at
+the 4000-center inference preset, all VPU work.  But both queries and
+points live on a tabletop: a radius/box test can only pass for points
+whose x-coordinate lies within a known bound of the query's.  This module
+exploits that with ONE spatial sort per forward:
+
+  * ``sort_cloud``        — order points by (x-cell, random-within-cell).
+    The cell quantization keeps index order random *within* a cell, which
+    preserves the sampling-diversity rationale of ops/sampling.
+    bucket_choice at cell granularity (CLAUDE.md: "cloud index order is
+    random").
+  * ``group_slab`` / ``crop_slab`` — the grouping/crop kernels with a
+    per-query-tile scan range [start, stop) over 2048-column blocks,
+    computed exactly from the cell ids (scalar-prefetch block indices;
+    out-of-range steps skip both compute and selection).  Counts are
+    EXACT: any point outside the scanned slab provably fails the
+    radius/box test.  Selection happens inside a per-tile span of
+    contiguous windows so the output keeps a bucket structure the fused
+    pooling can consume.
+  * ``gather_max_slab``   — ops/pooling.gather_max for slab-structured
+    indices: slot ``j`` of query tile ``t`` holds a row inside window
+    ``off[t]*2048 + j*WIN .. +WIN`` (or a duplicate / -1-fill), so the
+    one-hot MXU matmuls contract against per-tile windows fetched at
+    scalar-prefetched offsets — half the matmul rows of the global-bucket
+    variant (no Wp padding waste).
+
+Semantics vs the full-scan kernels: counts and validity are exact;
+selection is stratified over the slab's windows instead of over global
+buckets, i.e. up to NW distinct picks per query (NW = 64 windows here)
+randomized within cells — a distribution change that is quality-gated on
+the frozen benchmark suite (tools/benchmark_eval.py --slab-cell).
+Reference behavior being replaced: get_regiondataset.py:330-341 (radius
+grouping) and gripper_region_network.py:436-550 (closing-region crop).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 128      # queries per tile (tiles shared by selection and pooling)
+_SCAN = 2048   # columns per scan step / rows per pooling fetch block
+_BIG = 1e38    # finite sentinel for the pooling max
+
+# selection window geometry (span must be whole _SCAN blocks)
+_WIN_GROUP = 128   # window width for grouping; 4 slots per window
+_SPW_GROUP = 4
+_WIN_CROP = 256    # window width for the crop; 1 slot per window
+_SPW_CROP = 1
+
+
+class SortedCloud(NamedTuple):
+    """A point cloud in slab order (ascending x-cell, random within)."""
+
+    xyz: jax.Array       # [B, N, 3] f32
+    cell_row: jax.Array  # [B, N] int32 nondecreasing cell ids
+    order: jax.Array     # [B, N] int32 original row of each sorted row
+
+
+def sort_cloud(key: jax.Array, pc: jax.Array, cell: float
+               ) -> tuple[jax.Array, SortedCloud]:
+    """Order points by (floor(x/cell), uniform random within the cell).
+
+    pc [B, N, C>=3] (xyz first).  Returns (pc_sorted, SortedCloud) —
+    all C channels ride the one multi-operand sort (no gathers), so the
+    sorted cloud can be fed straight to the (permutation-equivariant)
+    backbone and every downstream per-point tensor stays in slab order.
+    """
+    x = pc[..., 0].astype(jnp.float32)
+    cid = jnp.clip(jnp.floor(x / jnp.float32(cell)), -1e6, 1e6)
+    u = jax.random.uniform(key, x.shape)
+    # cell ids are small integers, exactly representable in f32, so the
+    # composite key orders by (cell, u) in one sort pass
+    sortkey = cid + u * 0.999
+    B, N = x.shape
+    orig = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    operands = (sortkey,) + tuple(
+        pc[..., c] for c in range(pc.shape[-1])) \
+        + (cid.astype(jnp.int32), orig)
+    s = lax.sort(operands, dimension=-1, num_keys=1)
+    pc_sorted = jnp.stack(s[1:1 + pc.shape[-1]], axis=-1)
+    xs = pc_sorted[..., :3].astype(jnp.float32)
+    return pc_sorted, SortedCloud(xs, s[-2], s[-1])
+
+
+def n_scan_blocks(n: int) -> int:
+    return -(-n // _SCAN)
+
+
+def slab_bounds(cell_row: jax.Array, qx: jax.Array, bound: float,
+                cell: float, nblk: int, span_blocks: int) -> jax.Array:
+    """Per-query-tile scan range and selection-span origin.
+
+    Args:
+      cell_row: [B, N] sorted cell ids.  qx: [B, Mp] query x (Mp % 128
+      == 0; padded queries hold huge x).  bound: max |px - qx| any
+      passing point can have.  cell: quantization of `cell_row`.
+      nblk: scan blocks (n_scan_blocks(N)).  span_blocks: selection span.
+
+    Returns:
+      [B, T, 3] int32 (start_blk, stop_blk, off_blk): scanning blocks
+      [start, stop) covers every point within `bound` of the tile's
+      queries; [off, off+span) is the selection span (covers the whole
+      slab when it fits, else centered on it).
+    """
+    B, Mp = qx.shape
+    T = Mp // _TM
+    qt = qx.reshape(B, T, _TM)
+    lo = qt.min(-1) - bound
+    hi = qt.max(-1) + bound
+    lo_c = jnp.clip(jnp.floor(lo / cell), -1e6, 1e6).astype(jnp.int32)
+    hi_c = jnp.clip(jnp.floor(hi / cell), -1e6, 1e6).astype(jnp.int32)
+    srow = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left"))(cell_row, lo_c)
+    erow = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right"))(cell_row, hi_c)
+    start = jnp.clip(srow // _SCAN, 0, nblk - 1).astype(jnp.int32)
+    stop = jnp.clip(-(-erow // _SCAN), start + 1, nblk).astype(jnp.int32)
+    fits = (stop - start) <= span_blocks
+    mid = ((srow + erow) // (2 * _SCAN)).astype(jnp.int32)
+    off_fit = jnp.minimum(start, nblk - span_blocks)
+    off_ctr = jnp.clip(mid - span_blocks // 2, 0, nblk - span_blocks)
+    off = jnp.where(fits, off_fit, off_ctr).astype(jnp.int32)
+    return jnp.stack([start, stop, off], axis=-1)
+
+
+def _hash23(rows, cols, seed):
+    """Counter-hash (ops/sampling.hash_uniform rationale) producing
+    23-bit int32 tiebreak scores — int32 (not uint32->f32, which Mosaic
+    can't lower; not even float: int argmax is cheaper on the VPU)."""
+    h = (rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         + cols.astype(jnp.uint32) * jnp.uint32(2654435761)
+         + seed)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x45D9F3B)
+    h = h ^ (h >> 16)
+    return (h >> 9).astype(jnp.int32)
+
+
+# odd multipliers: h -> (h * odd) mod 2^23 is a bijection on the 23-bit
+# scores, so each selection stream is an independent-looking uniform
+# reshuffle of one hash evaluation (4x cheaper than 4 full hashes)
+_STREAM_ODD = (1, 0x3779B1, 0x85EBCB, 0x27D4ED)
+
+
+def _emit_rows(idx_ref, row_list, k, off, in_span):
+    """Write this step's selection rows [rps, _TM] into the resident
+    output block at the span-relative offset (rps-aligned dynamic start).
+    Rows of span steps that were never scanned keep their k==0 init (-1:
+    provably no in-range point there)."""
+    rps = len(row_list)
+    blk = jnp.concatenate([r[None, :] for r in row_list], axis=0)
+
+    @pl.when(in_span)
+    def _():
+        idx_ref[pl.ds((k - off) * rps, rps), :] = blk
+
+
+def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
+                       ss_ref, seed_ref, x_ref, c_ref,
+                       idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
+    b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_k = pl.num_programs(2)
+    start = ss_ref[b, mt, 0]
+    stop = ss_ref[b, mt, 1]
+    off = ss_ref[b, mt, 2]
+
+    @pl.when(k == 0)
+    def _():
+        idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
+        cnt_acc[:] = jnp.zeros(cnt_acc.shape, jnp.int32)
+        first_acc[:] = jnp.full(first_acc.shape, -1, jnp.int32)
+
+    in_scan = (k >= start) & (k < stop)
+    in_span = (k >= off) & (k < off + span_blocks)
+
+    @pl.when(in_scan)
+    def _():
+        seed = seed_ref[0]
+        col0 = k * _SCAN
+        mrow = mt * _TM
+        rows = lax.broadcasted_iota(jnp.int32, (_TM, _WIN_GROUP), 0) + mrow
+        row_list = []
+        for w in range(_SCAN // _WIN_GROUP):
+            d2 = None
+            for c in range(3):
+                xg = x_ref[c, w * _WIN_GROUP:(w + 1) * _WIN_GROUP]
+                diff = c_ref[c, :][:, None] - xg[None, :]   # [TM, WIN]
+                d2 = diff * diff if d2 is None else d2 + diff * diff
+            cols = lax.broadcasted_iota(jnp.int32, d2.shape, 1) \
+                + (col0 + w * _WIN_GROUP)
+            mask = (d2 <= r2) & (cols < n_valid)
+            cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
+                                                    dtype=jnp.int32)
+            ok = jnp.any(mask, axis=1)          # shared by all streams
+            h = _hash23(rows, cols, seed)
+            for s in range(_SPW_GROUP):
+                hs = h if s == 0 else (h * _STREAM_ODD[s]) & 0x7FFFFF
+                val = jnp.where(mask, hs, -1)
+                win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
+                win = col0 + w * _WIN_GROUP + win_col
+                row_list.append(jnp.where(ok, win, -1))
+                first_acc[0, :] = jnp.where(
+                    (first_acc[0, :] < 0) & ok & in_span, win,
+                    first_acc[0, :])
+        _emit_rows(idx_ref, row_list, k, off, in_span)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        cnt_ref[0, :] = cnt_acc[0, :]
+        sel_ref[0, :] = first_acc[0, :]
+
+
+def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
+                      ss_ref, seed_ref, x_ref, f_ref, c_ref,
+                      idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
+    """f_ref [9, TM] row-major 3x3 frames (columns = gripper axes);
+    c_ref [3, TM] grasp bases — same contract as ops/crop_pallas.py."""
+    xlo, xhi, yabs, zabs = box
+    b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_k = pl.num_programs(2)
+    start = ss_ref[b, mt, 0]
+    stop = ss_ref[b, mt, 1]
+    off = ss_ref[b, mt, 2]
+
+    @pl.when(k == 0)
+    def _():
+        idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
+        cnt_acc[:] = jnp.zeros(cnt_acc.shape, jnp.int32)
+        first_acc[:] = jnp.full(first_acc.shape, -1, jnp.int32)
+
+    in_scan = (k >= start) & (k < stop)
+    in_span = (k >= off) & (k < off + span_blocks)
+
+    @pl.when(in_scan)
+    def _():
+        seed = seed_ref[0]
+        col0 = k * _SCAN
+        mrow = mt * _TM
+        rows = lax.broadcasted_iota(jnp.int32, (_TM, _WIN_CROP), 0) + mrow
+        row_list = []
+        for w in range(_SCAN // _WIN_CROP):
+            rel = [x_ref[c, w * _WIN_CROP:(w + 1) * _WIN_CROP][None, :]
+                   - c_ref[c, :][:, None] for c in range(3)]  # 3x[TM,WIN]
+            loc = [f_ref[0 + j, :][:, None] * rel[0]
+                   + f_ref[3 + j, :][:, None] * rel[1]
+                   + f_ref[6 + j, :][:, None] * rel[2] for j in range(3)]
+            cols = lax.broadcasted_iota(jnp.int32, loc[0].shape, 1) \
+                + (col0 + w * _WIN_CROP)
+            mask = ((loc[0] > xlo) & (loc[0] < xhi)
+                    & (jnp.abs(loc[1]) < yabs) & (jnp.abs(loc[2]) < zabs)
+                    & (cols < n_valid))
+            cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
+                                                    dtype=jnp.int32)
+            val = jnp.where(mask, _hash23(rows, cols, seed), -1)
+            win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
+            ok = jnp.any(mask, axis=1)
+            win = col0 + w * _WIN_CROP + win_col
+            row_list.append(jnp.where(ok, win, -1))
+            first_acc[0, :] = jnp.where(
+                (first_acc[0, :] < 0) & ok & in_span, win, first_acc[0, :])
+        _emit_rows(idx_ref, row_list, k, off, in_span)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        cnt_ref[0, :] = cnt_acc[0, :]
+        sel_ref[0, :] = first_acc[0, :]
+
+
+def _slab_select_call(kernel, B, Mp, K, nblk, interpret,
+                      ss, seed, *tensors):
+    """Shared pallas_call plumbing for the two selection kernels.
+
+    tensors[0] is the [B, 3, nblk*_SCAN] sorted cloud (scanned at the
+    prefetched slab block index); the rest are [B, rows, Mp] per-query
+    tensors tiled along the query dimension."""
+    T = Mp // _TM
+    grid = (B, T, nblk)
+
+    def x_map(b, mt, k, ss_ref):
+        lo = ss_ref[b, mt, 0]
+        hi = ss_ref[b, mt, 1] - 1
+        return (b, 0, jnp.clip(k, lo, hi))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 3, _SCAN), x_map,
+                             memory_space=pltpu.VMEM)]
+    for t in tensors[1:]:
+        in_specs.append(pl.BlockSpec(
+            (None, t.shape[1], _TM), lambda b, mt, k, ss_ref: (b, 0, mt),
+            memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((None, K, _TM),
+                         lambda b, mt, k, ss_ref: (b, 0, mt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, _TM),
+                         lambda b, mt, k, ss_ref: (b, 0, mt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, _TM),
+                         lambda b, mt, k, ss_ref: (b, 0, mt),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, _TM), jnp.int32),
+                        pltpu.VMEM((1, _TM), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ss, seed, *tensors)
+
+
+def group_span_blocks(group_num: int) -> int:
+    assert group_num % (_SPW_GROUP * _SCAN // _WIN_GROUP) == 0, group_num
+    return group_num * _WIN_GROUP // (_SPW_GROUP * _SCAN)
+
+
+def crop_span_blocks(gripper_num: int) -> int:
+    assert gripper_num % (_SPW_CROP * _SCAN // _WIN_CROP) == 0, gripper_num
+    return gripper_num * _WIN_CROP // (_SPW_CROP * _SCAN)
+
+
+def _pad_cols(a: jax.Array, np_: int, value: float) -> jax.Array:
+    pad = np_ - a.shape[-1]
+    if pad:
+        a = jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, pad),),
+                    constant_values=value)
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "group_num",
+                                             "cell", "interpret"))
+def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
+               radius: float, group_num: int, cell: float,
+               interpret: bool = False):
+    """Slab radius grouping over a sorted cloud.
+
+    Args:
+      sc: sort_cloud output.  centers: [B, M, 3] query centers (sort by x
+        for locality; correctness holds regardless).  seed: [] uint32.
+      radius, group_num, cell: static.
+
+    Returns:
+      index [B, M, K] int32 rows into sc.xyz (empty slots filled with the
+        query's first selected winner; 0 when nothing was selectable),
+      count [B, M] exact in-radius population,
+      sel_any [B, M] bool — at least one winner was selected (False =>
+        treat the row as invalid even if count > 0),
+      off_blk [B, T] int32 — selection-span origin for gather_max_slab.
+    """
+    B, N, _ = sc.xyz.shape
+    M = centers.shape[1]
+    K = group_num
+    span_b = group_span_blocks(K)
+    nblk = n_scan_blocks(N)
+    assert span_b <= nblk, (span_b, nblk)
+
+    x = _pad_cols(jnp.swapaxes(sc.xyz, 1, 2), nblk * _SCAN, 1e10)
+    mpad = (-M) % _TM
+    c = jnp.swapaxes(centers[..., :3].astype(jnp.float32), 1, 2)
+    c = _pad_cols(c, M + mpad, 1e10)
+    Mp = M + mpad
+
+    ss = slab_bounds(sc.cell_row, c[:, 0, :], radius, cell, nblk, span_b)
+    seed = jnp.asarray(seed, jnp.uint32).reshape(1)
+
+    kernel = functools.partial(_group_slab_kernel, float(radius) ** 2, N,
+                               span_b, K)
+    idx, cnt, first = _slab_select_call(kernel, B, Mp, K, nblk,
+                                        interpret, ss, seed, x, c)
+    idx = jnp.swapaxes(idx, 1, 2)[:, :M]
+    cnt = cnt[:, 0, :M]
+    first = first[:, 0, :M]
+    sel_any = first >= 0
+    fill = jnp.maximum(first, 0)
+    idx = jnp.where(idx >= 0, idx, fill[..., None])
+    return idx, cnt, sel_any, ss[..., 2]
+
+
+@functools.partial(jax.jit, static_argnames=("box", "gripper_num",
+                                             "cell", "interpret"))
+def crop_slab(sc: SortedCloud, frame: jax.Array, center: jax.Array,
+              seed: jax.Array, box: tuple, gripper_num: int, cell: float,
+              interpret: bool = False):
+    """Slab closing-region crop over a sorted cloud.
+
+    frame [B, M, 3, 3] (columns = gripper axes), center [B, M, 3]; box =
+    (xlo, xhi, yabs, zabs) as ops/crop_pallas.py.  Returns (index, count,
+    sel_any, off_blk) — see group_slab.
+    """
+    B, N, _ = sc.xyz.shape
+    M = center.shape[1]
+    K = gripper_num
+    span_b = crop_span_blocks(K)
+    nblk = n_scan_blocks(N)
+    assert span_b <= nblk, (span_b, nblk)
+
+    x = _pad_cols(jnp.swapaxes(sc.xyz, 1, 2), nblk * _SCAN, 1e10)
+    mpad = (-M) % _TM
+    f = jnp.swapaxes(frame.reshape(B, M, 9), 1, 2)          # [B, 9, M]
+    f = _pad_cols(f.astype(jnp.float32), M + mpad, 0.0)
+    c = jnp.swapaxes(center.astype(jnp.float32), 1, 2)
+    c = _pad_cols(c, M + mpad, 1e10)
+    Mp = M + mpad
+
+    # any inside point satisfies |px - cx| <= half-diagonal of the box
+    xlo, xhi, yabs, zabs = box
+    bound = math.sqrt(max(abs(xlo), abs(xhi)) ** 2
+                      + yabs ** 2 + zabs ** 2) + 1e-4
+    ss = slab_bounds(sc.cell_row, c[:, 0, :], bound, cell, nblk, span_b)
+    seed = jnp.asarray(seed, jnp.uint32).reshape(1)
+
+    kernel = functools.partial(_crop_slab_kernel,
+                               tuple(float(v) for v in box), N, span_b, K)
+    idx, cnt, first = _slab_select_call(kernel, B, Mp, K, nblk,
+                                        interpret, ss, seed, x, f, c)
+    idx = jnp.swapaxes(idx, 1, 2)[:, :M]
+    cnt = cnt[:, 0, :M]
+    first = first[:, 0, :M]
+    sel_any = first >= 0
+    fill = jnp.maximum(first, 0)
+    idx = jnp.where(idx >= 0, idx, fill[..., None])
+    return idx, cnt, sel_any, ss[..., 2]
+
+
+# ---------------------------------------------------------------------------
+# Fused gather + max over slab-structured indices
+# ---------------------------------------------------------------------------
+
+
+def _gmax_slab_kernel(win: int, spw: int, with_argmax: bool,
+                      off_ref, idx_ref, fs_ref, out_ref, *rest):
+    """Grid (B, S/TM, span_blocks); out block resident over the span.
+
+    idx_ref [rps, TM] — this step's slots; fs_ref [_SCAN, C] — feature
+    rows at block off[b,st]+kc; slot j of window w holds a row in
+    [base + w*win, +win) or a duplicate/fill (handled by the one-hot
+    validity mask: uncovered slots contribute -BIG, and every fill value
+    is also some slot's own in-window pick, so the max is unchanged).
+    """
+    b, st, kc = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    win_ref = rest[0] if with_argmax else None
+    dtype = out_ref.dtype
+    TS = out_ref.shape[0]
+
+    @pl.when(kc == 0)
+    def _():
+        out_ref[...] = jnp.full(out_ref.shape, -_BIG, dtype)
+        if with_argmax:
+            win_ref[...] = jnp.zeros(win_ref.shape, jnp.int32)
+
+    base = (off_ref[b, st] + kc) * _SCAN
+    fw = fs_ref[...]
+    if fw.dtype == jnp.float32:
+        # exact 3-way bf16 split (ops/pooling.py rationale)
+        h1 = fw.astype(jnp.bfloat16)
+        r1 = fw - h1.astype(jnp.float32)
+        h2 = r1.astype(jnp.bfloat16)
+        h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+        terms = (h1, h2, h3)
+    else:
+        terms = (fw,)
+
+    contract0 = (((0,), (0,)), ((), ()))
+    iota_w = lax.broadcasted_iota(jnp.int32, (win, TS), 0)
+    for w in range(_SCAN // win):
+        wbase = base + w * win
+        tslices = [t[w * win:(w + 1) * win] for t in terms]
+        for s in range(spw):
+            j = w * spw + s                       # static row in idx blk
+            row = idx_ref[j:j + 1, :]                       # [1, TS]
+            rel = row - wbase
+            onehot = ((iota_w == rel) & (rel >= 0)
+                      & (rel < win)).astype(jnp.bfloat16)   # [win, TS]
+            picked = jnp.zeros((TS, fw.shape[-1]), jnp.float32)
+            for t in tslices:
+                picked = picked + lax.dot_general(
+                    onehot, t, dimension_numbers=contract0,
+                    preferred_element_type=jnp.float32)
+            # uncovered slots (duplicates/fills from other windows) have
+            # an all-zero one-hot; push them to -BIG via a 1-column cover
+            # matmul so they can never win
+            ones = jnp.ones((win, 1), jnp.bfloat16)
+            cover = lax.dot_general(onehot, ones,
+                                    dimension_numbers=contract0,
+                                    preferred_element_type=jnp.float32)
+            picked = jnp.where(cover > 0.5, picked.astype(dtype),
+                               jnp.asarray(-_BIG, dtype))
+            if with_argmax:
+                w_iota = lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+                w_hi = (w_iota // 256).astype(jnp.bfloat16)
+                w_lo = (w_iota % 256).astype(jnp.bfloat16)
+                hi = lax.dot_general(onehot, w_hi,
+                                     dimension_numbers=contract0,
+                                     preferred_element_type=jnp.float32)
+                lo = lax.dot_general(onehot, w_lo,
+                                     dimension_numbers=contract0,
+                                     preferred_element_type=jnp.float32)
+                rowid = (hi.astype(jnp.int32) * 256
+                         + lo.astype(jnp.int32) + wbase)     # [TS, 1]
+                prev = out_ref[...]
+                upd = picked > prev
+                out_ref[...] = jnp.where(upd, picked, prev)
+                win_ref[...] = jnp.where(upd, rowid, win_ref[...])
+            else:
+                out_ref[...] = jnp.maximum(out_ref[...], picked)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "spw", "with_argmax",
+                                             "interpret"))
+def gather_max_slab(fs: jax.Array, index: jax.Array, off_blk: jax.Array,
+                    win: int, spw: int, with_argmax: bool = False,
+                    interpret: bool = False):
+    """max_k fs[b, index[b,s,k], c] for slab-structured indices.
+
+    fs [B, N, C] sorted features; index [B, S, K] from group_slab
+    (win=128, spw=4) or crop_slab (win=256, spw=1); off_blk [B, S/128]
+    the spans those selectors returned.  Rows with no covered slot
+    (sel_any False upstream) pool to -BIG — mask or replace downstream.
+    """
+    B, N, C = fs.shape
+    _, S, K = index.shape
+    rps = (_SCAN // win) * spw            # slots per scan block
+    assert K % rps == 0, (K, rps)
+    span_b = K // rps
+    nblk = n_scan_blocks(N)
+    pad_n = nblk * _SCAN - N
+    if pad_n:
+        fs = jnp.pad(fs, ((0, 0), (0, pad_n), (0, 0)),
+                     constant_values=-_BIG)
+    pad_s = (-S) % _TM
+    idx = index.astype(jnp.int32)
+    if pad_s:
+        idx = jnp.pad(idx, ((0, 0), (0, pad_s), (0, 0)))
+    Sp = S + pad_s
+    idx_t = jnp.swapaxes(idx, 1, 2)                    # [B, K, Sp]
+
+    out_shape = [jax.ShapeDtypeStruct((B, Sp, C), fs.dtype)]
+    out_specs = [pl.BlockSpec((None, _TM, C),
+                              lambda b, st, kc, off: (b, st, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_argmax:
+        out_shape.append(jax.ShapeDtypeStruct((B, Sp, C), jnp.int32))
+        out_specs.append(pl.BlockSpec((None, _TM, C),
+                                      lambda b, st, kc, off: (b, st, 0),
+                                      memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Sp // _TM, span_b),
+        in_specs=[
+            pl.BlockSpec((None, rps, _TM),
+                         lambda b, st, kc, off: (b, kc, st),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _SCAN, C),
+                         lambda b, st, kc, off: (b, off[b, st] + kc, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+    )
+    res = pl.pallas_call(
+        functools.partial(_gmax_slab_kernel, win, spw, with_argmax),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(off_blk.astype(jnp.int32), idx_t, fs)
+    pooled = res[0][:, :S]
+    if with_argmax:
+        return pooled, res[1][:, :S]
+    return pooled
+
+
+def _gm_slab_fwd(fs, index, off_blk, win, spw, interpret):
+    pooled, winner = gather_max_slab(fs, index, off_blk, win, spw,
+                                     with_argmax=True, interpret=interpret)
+    return pooled, (winner, fs.shape[1])
+
+
+def _gm_slab_bwd(win, spw, interpret, res, g):
+    winner, n = res
+    C = winner.shape[-1]
+    keys = (winner * C
+            + lax.broadcasted_iota(jnp.int32, winner.shape, 2))
+    df = jax.vmap(
+        lambda k, gg: jnp.zeros((n * C,), g.dtype)
+        .at[k.reshape(-1)].add(gg.reshape(-1)))(keys, g)
+    return df.reshape(winner.shape[0], n, C), None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gather_max_slab_vjp(fs, index, off_blk, win: int, spw: int,
+                        interpret: bool = False):
+    """Differentiable wrapper: d(pooled) routes to the first winning row
+    per (query, channel) — the same semantic as ops/pooling.gather_max."""
+    return gather_max_slab(fs, index, off_blk, win, spw,
+                           interpret=interpret)
+
+
+gather_max_slab_vjp.defvjp(_gm_slab_fwd, _gm_slab_bwd)
+
+GROUP_WIN, GROUP_SPW = _WIN_GROUP, _SPW_GROUP
+CROP_WIN, CROP_SPW = _WIN_CROP, _SPW_CROP

@@ -116,6 +116,15 @@ class RegionConfig:
     # `groups`): 1 = exact (default); quality-gate changes like
     # ModelConfig.fps_groups
     center_fps_groups: int = 1
+    # Sorted-slab geometry kernels (ops/slab.py): sort the cloud once by
+    # (x-cell, random-within-cell) and scan only each query tile's slab
+    # in the grouping/crop kernels.  0.0 = off (full scans, default);
+    # > 0.0 = the cell size in meters (0.04 is the A/B'd setting).
+    # Counts/validity stay exact; the point *selection* becomes
+    # slab-stratified, which also reorders the model's per-point outputs
+    # (clouds are sets; the permutation is consistent across outputs).
+    # Quality-gated on the frozen suite like the FPS knobs.
+    slab_cell: float = 0.0
     max_gt_grasps: int = 512     # static pad for per-scene ground-truth grasps
     # Reference quirk kept for parity: the center<->GT matching threshold 0.005
     # is applied to the SQUARED distance (get_regiondataset.py:114 with

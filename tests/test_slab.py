@@ -1,0 +1,235 @@
+"""Sorted-slab kernels (ops/slab.py): interpret-mode semantics on CPU.
+
+Covers the exactness contract (counts/membership identical to full
+scans), the window-structure contract the fused pooling consumes, the
+slab pooling itself, its VJP, and the end-to-end slab path through the
+model.  Mosaic lowering is covered by tests/test_pallas_kernels.py's
+TPU-gated twins.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regnet_for_3d_grasping_tpu.ops import slab
+from regnet_for_3d_grasping_tpu.ops.grouping import group_points
+
+CELL = 0.04
+
+
+def _cloud(B=2, N=9216, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = rng.uniform(-0.35, 0.35, (B, N, 3)).astype(np.float32)
+    pts[..., 2] *= 0.1
+    return pts
+
+
+def _sorted_centers(pts, M, rng):
+    out = []
+    for b in range(pts.shape[0]):
+        c = pts[b][rng.choice(pts.shape[1], M, False)]
+        out.append(c[np.argsort(c[:, 0])])
+    return np.stack(out)
+
+
+class TestSortCloud:
+    def test_cell_order_and_permutation(self):
+        pts = _cloud()
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(0), jnp.asarray(pts), CELL)
+        cr = np.asarray(sc.cell_row)
+        assert (np.diff(cr, axis=-1) >= 0).all()
+        for b in range(pts.shape[0]):
+            # a permutation of the original rows
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(sc.order)[b]), np.arange(pts.shape[1]))
+            np.testing.assert_allclose(
+                np.asarray(sc.xyz)[b], pts[b][np.asarray(sc.order)[b]])
+            # cell ids consistent with coordinates
+            np.testing.assert_array_equal(
+                cr[b], np.floor(np.asarray(sc.xyz)[b, :, 0] / CELL))
+
+    def test_random_within_cell(self):
+        # within one cell the order must not be x-sorted (the diversity
+        # property group selection relies on)
+        pts = _cloud(B=1)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(1), jnp.asarray(pts), CELL)
+        cr = np.asarray(sc.cell_row)[0]
+        xs = np.asarray(sc.xyz)[0, :, 0]
+        cell_id = cr[len(cr) // 2]
+        seg = xs[cr == cell_id]
+        assert len(seg) > 20
+        assert not (np.diff(seg) >= 0).all()
+
+
+class TestGroupSlab:
+    @pytest.fixture(scope="class")
+    def data(self):
+        pts = _cloud()
+        rng = np.random.RandomState(7)
+        centers = _sorted_centers(pts, 256, rng)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(2), jnp.asarray(pts), CELL)
+        radius, K = 0.03, 256
+        idx, cnt, sel, off = slab.group_slab(
+            sc, jnp.asarray(centers), jnp.uint32(7), radius, K, CELL,
+            interpret=True)
+        return pts, centers, sc, radius, K, tuple(
+            np.asarray(a) for a in (idx, cnt, sel, off))
+
+    def test_counts_exact(self, data):
+        pts, centers, sc, radius, K, arrs = data
+        idx, cnt, sel, off = arrs
+        d2 = ((centers[:, :, None] - np.asarray(sc.xyz)[:, None]) ** 2
+              ).sum(-1)
+        np.testing.assert_array_equal(cnt, (d2 <= radius ** 2).sum(-1))
+        np.testing.assert_array_equal(sel, cnt > 0)
+
+    def test_winners_in_radius_and_windows(self, data):
+        pts, centers, sc, radius, K, arrs = data
+        idx, cnt, sel, off = arrs
+        d2 = ((centers[:, :, None] - np.asarray(sc.xyz)[:, None]) ** 2
+              ).sum(-1)
+        win_d2 = np.take_along_axis(d2, idx, axis=-1)
+        assert ((win_d2 <= radius ** 2 + 1e-9) | ~sel[..., None]).all()
+        # window containment or duplicate-fill: slot j's own window is
+        # [off*2048 + (j//4)*128, +128); a slot outside it must hold a
+        # value that some in-window slot also holds
+        B, M = cnt.shape
+        for b in range(B):
+            for m in range(0, M, 37):
+                if not sel[b, m]:
+                    continue
+                base = off[b, m // 128] * 2048
+                own = set()
+                for j in range(K):
+                    lo = base + (j // 4) * 128
+                    if lo <= idx[b, m, j] < lo + 128:
+                        own.add(int(idx[b, m, j]))
+                for j in range(K):
+                    lo = base + (j // 4) * 128
+                    v = int(idx[b, m, j])
+                    assert (lo <= v < lo + 128) or v in own
+
+    def test_empty_rows(self):
+        pts = _cloud(B=1)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(3), jnp.asarray(pts), CELL)
+        far = jnp.asarray(np.full((1, 128, 3), 5.0, np.float32))
+        idx, cnt, sel, off = slab.group_slab(
+            sc, far, jnp.uint32(1), 0.03, 256, CELL, interpret=True)
+        assert int(jnp.sum(cnt)) == 0
+        assert not bool(jnp.any(sel))
+        np.testing.assert_array_equal(np.asarray(idx), 0)
+
+
+class TestCropSlab:
+    @pytest.fixture(scope="class")
+    def data(self):
+        pts = _cloud(B=1, N=18432, seed=1)
+        rng = np.random.RandomState(11)
+        centers = _sorted_centers(pts, 256, rng)
+        frames = np.stack([np.stack(
+            [np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+             for _ in range(256)])])
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(5), jnp.asarray(pts), CELL)
+        box = (0.0, 0.03, 0.04, 0.005)
+        idx, cnt, sel, off = slab.crop_slab(
+            sc, jnp.asarray(frames), jnp.asarray(centers), jnp.uint32(9),
+            box, 64, CELL, interpret=True)
+        return pts, centers, frames, sc, box, tuple(
+            np.asarray(a) for a in (idx, cnt, sel, off))
+
+    def test_counts_and_membership(self, data):
+        pts, centers, frames, sc, box, arrs = data
+        idx, cnt, sel, off = arrs
+        rel = np.asarray(sc.xyz)[:, None] - centers[:, :, None]
+        loc = np.einsum("bmij,bmni->bmnj", frames, rel)
+        inside = ((loc[..., 0] > box[0]) & (loc[..., 0] < box[1])
+                  & (np.abs(loc[..., 1]) < box[2])
+                  & (np.abs(loc[..., 2]) < box[3]))
+        np.testing.assert_array_equal(cnt, inside.sum(-1))
+        np.testing.assert_array_equal(sel, cnt > 0)
+        win_in = np.take_along_axis(inside, idx, axis=-1)
+        assert (win_in | ~sel[..., None]).all()
+
+
+class TestGatherMaxSlab:
+    def _setup(self, dtype):
+        pts = _cloud()
+        rng = np.random.RandomState(13)
+        centers = _sorted_centers(pts, 256, rng)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(2), jnp.asarray(pts), CELL)
+        idx, cnt, sel, off = slab.group_slab(
+            sc, jnp.asarray(centers), jnp.uint32(7), 0.03, 256, CELL,
+            interpret=True)
+        feat = jnp.asarray(
+            rng.randn(pts.shape[0], pts.shape[1], 64).astype(np.float32)
+        ).astype(dtype)
+        return feat, idx, sel, off
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_gather_reference(self, dtype):
+        feat, idx, sel, off = self._setup(dtype)
+        pooled = slab.gather_max_slab(feat, idx, off, slab.GROUP_WIN,
+                                      slab.GROUP_SPW, interpret=True)
+        ref = jnp.max(group_points(feat, idx), axis=-2)
+        m = np.asarray(sel)
+        np.testing.assert_array_equal(np.asarray(pooled)[m],
+                                      np.asarray(ref)[m])
+
+    def test_grad_matches_autodiff(self):
+        feat, idx, sel, off = self._setup(jnp.float32)
+        g = jax.grad(lambda f: slab.gather_max_slab_vjp(
+            f, idx, off, slab.GROUP_WIN, slab.GROUP_SPW, True).sum())(feat)
+        g_ref = jax.grad(lambda f: jnp.sum(
+            jnp.max(group_points(f, idx), axis=-2)))(feat)
+        # tie routing may differ on duplicate rows; per-row totals agree
+        np.testing.assert_allclose(np.asarray(g).sum(1),
+                                   np.asarray(g_ref).sum(1), atol=1e-4)
+
+
+class TestSlabModelPath:
+    def test_full_cascade_slab_mode(self):
+        """End-to-end REGNet forward with region.slab_cell > 0 on the CPU
+        (interpret-mode kernels): finite outputs, plausible validity, and
+        the per-point score SET matches the non-slab forward up to
+        sampling noise (the slab mode is a row permutation plus different
+        selection draws)."""
+        from regnet_for_3d_grasping_tpu.geometry import region as R
+        from regnet_for_3d_grasping_tpu.data import make_synthetic_scene
+        from regnet_for_3d_grasping_tpu.models import REGNet
+        from regnet_for_3d_grasping_tpu.utils.config import infer_config
+
+        old = R.SLAB_INTERPRET
+        R.SLAB_INTERPRET = True
+        try:
+            cfg = infer_config(**{"region.center_num": 256,
+                                  "region.slab_cell": 0.04})
+            model = REGNet(cfg)
+            scene = make_synthetic_scene(0, num_view=cfg.region.num_points)
+            pc = jnp.asarray(np.c_[
+                scene["view_cloud"],
+                scene["view_cloud_color"]].astype(np.float32)[None])
+            variables = model.init({"params": jax.random.PRNGKey(0),
+                                    "sampling": jax.random.PRNGKey(1)}, pc)
+            out = model.apply(variables, pc, train=False,
+                              rngs={"sampling": jax.random.PRNGKey(2)})
+            for leaf in (out.score, out.proposals, out.final_grasps,
+                         out.refine_logits):
+                assert bool(jnp.all(jnp.isfinite(leaf)))
+            assert float(out.region_valid.mean()) > 0.3
+            assert float(out.crop_valid.mean()) > 0.3
+
+            out0 = REGNet(infer_config(**{"region.center_num": 256})
+                          ).apply(variables, pc, train=False,
+                                  rngs={"sampling": jax.random.PRNGKey(2)})
+            s1 = np.sort(np.asarray(out.score[0]))
+            s0 = np.sort(np.asarray(out0.score[0]))
+            np.testing.assert_allclose(s1, s0, atol=5e-3)
+        finally:
+            R.SLAB_INTERPRET = old
+
+    def test_small_shapes_fall_back(self):
+        """tiny shapes must not dispatch the slab kernels (span > cloud)."""
+        from regnet_for_3d_grasping_tpu.geometry import region as R
+        assert not R._use_slab_group(512, 16)
+        assert not R._use_slab_crop(512, 16)
