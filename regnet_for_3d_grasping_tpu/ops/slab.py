@@ -207,7 +207,8 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
             h = _hash23(rows, cols, seed)
             for s in range(_SPW_GROUP):
                 hs = h if s == 0 else (h * _STREAM_ODD[s]) & 0x7FFFFF
-                val = jnp.where(mask, hs, -1)
+                # 23-bit scores are f32-exact; Mosaic argmax needs f32
+                val = jnp.where(mask, hs.astype(jnp.float32), -1.0)
                 win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
                 win = col0 + w * _WIN_GROUP + win_col
                 row_list.append(jnp.where(ok, win, -1))
@@ -263,7 +264,10 @@ def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
                     & (cols < n_valid))
             cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
                                                     dtype=jnp.int32)
-            val = jnp.where(mask, _hash23(rows, cols, seed), -1)
+            # 23-bit scores are f32-exact; Mosaic argmax needs f32
+            val = jnp.where(mask,
+                            _hash23(rows, cols, seed).astype(jnp.float32),
+                            -1.0)
             win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
             ok = jnp.any(mask, axis=1)
             win = col0 + w * _WIN_CROP + win_col

@@ -269,3 +269,67 @@ class TestGatherMaxPallas:
         w = np.asarray(win[0])
         np.testing.assert_array_equal(
             f[w, np.arange(C)[None, :]], np.asarray(pooled[0]))
+
+
+class TestSlabKernels:
+    """Mosaic lowering coverage for ops/slab.py (semantics covered on CPU
+    in tests/test_slab.py; this compiles the real kernels on the chip)."""
+
+    def _scene(self):
+        from regnet_for_3d_grasping_tpu.data import make_synthetic_scene
+        from regnet_for_3d_grasping_tpu.ops import slab
+        scene = make_synthetic_scene(3, num_view=25600)
+        pc = jnp.asarray(scene["view_cloud"].astype(np.float32)[None])
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(0), pc, 0.04)
+        rng = np.random.RandomState(5)
+        c = np.asarray(pc[0])[rng.choice(25600, 512, False)]
+        centers = jnp.asarray(c[np.argsort(c[:, 0])][None])
+        return slab, sc, centers, rng
+
+    def test_group_slab_counts_exact(self):
+        slab, sc, centers, rng = self._scene()
+        idx, cnt, sel, off = slab.group_slab(sc, centers, jnp.uint32(7),
+                                             0.008, 256, 0.04)
+        d2 = jnp.sum((centers[0][:, None] - sc.xyz[0][None]) ** 2, -1)
+        ref = jnp.sum(d2 <= 0.008 ** 2, -1)
+        np.testing.assert_array_equal(np.asarray(cnt[0]), np.asarray(ref))
+        # winners in radius on selected rows
+        wd = np.take_along_axis(np.asarray(d2), np.asarray(idx[0]), -1)
+        s = np.asarray(sel[0])
+        assert ((wd <= 0.008 ** 2 + 1e-9) | ~s[:, None]).all()
+
+    def test_crop_slab_counts_match_full_kernel(self):
+        from regnet_for_3d_grasping_tpu.geometry.codec import (
+            grasps_to_frames)
+        from regnet_for_3d_grasping_tpu.ops.crop_pallas import (
+            closing_region_crop_pallas)
+        slab, sc, centers, rng = self._scene()
+        M = centers.shape[1]
+        g = np.zeros((1, M, 8), np.float32)
+        g[0, :, :3] = np.asarray(centers[0])
+        ax = rng.randn(M, 3).astype(np.float32)
+        ax /= np.linalg.norm(ax, axis=1, keepdims=True)
+        g[0, :, 3:6] = ax
+        g[0, :, 6] = rng.uniform(-np.pi, np.pi, M)
+        frame, center = grasps_to_frames(jnp.asarray(g))
+        box = (0.0, 0.03, 0.04, 0.005)
+        ci, ccnt, csel, coff = slab.crop_slab(sc, frame, center,
+                                              jnp.uint32(9), box, 64, 0.04)
+        fi, fcnt = closing_region_crop_pallas(sc.xyz, frame, center,
+                                              jnp.uint32(9), box, 64)
+        np.testing.assert_array_equal(np.asarray(ccnt), np.asarray(fcnt))
+
+    def test_gather_max_slab_exact(self):
+        from regnet_for_3d_grasping_tpu.ops.grouping import group_points
+        slab, sc, centers, rng = self._scene()
+        idx, cnt, sel, off = slab.group_slab(sc, centers, jnp.uint32(7),
+                                             0.008, 256, 0.04)
+        for dt in (jnp.float32, jnp.bfloat16):
+            feat = jnp.asarray(
+                rng.randn(1, 25600, 256).astype(np.float32)).astype(dt)
+            pooled = slab.gather_max_slab(feat, idx, off, slab.GROUP_WIN,
+                                          slab.GROUP_SPW)
+            ref = jnp.max(group_points(feat, idx), axis=-2)
+            s = np.asarray(sel[0])
+            np.testing.assert_array_equal(np.asarray(pooled[0])[s],
+                                          np.asarray(ref[0])[s])

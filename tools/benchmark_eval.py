@@ -40,6 +40,9 @@ def main():
                    help="stratified approximate FPS at SA1 (1 = exact); "
                         "used for the quality gate of ops/fps.py groups")
     p.add_argument("--center-fps-groups", type=int, default=1)
+    p.add_argument("--slab-cell", type=float, default=0.0,
+                   help="sorted-slab kernels cell size (0 = full scans); "
+                        "quality gate for ops/slab.py")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verify-only", action="store_true")
@@ -82,6 +85,7 @@ def main():
         "region.accept_margin": args.accept_margin,
         "model.fps_groups": args.fps_groups,
         "region.center_fps_groups": args.center_fps_groups,
+        "region.slab_cell": args.slab_cell,
     })
     model = REGNet(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     fwd = jax.jit(lambda v, x, k: model.apply(
@@ -153,6 +157,7 @@ def main():
                    "accept_margin": args.accept_margin,
                    "fps_groups": args.fps_groups,
                    "center_fps_groups": args.center_fps_groups,
+                   "slab_cell": args.slab_cell,
                    "dtype": "bf16" if args.bf16 else "f32",
                    "normals": "precomputed(scene_normal)",
                    "backend": jax.default_backend()},
