@@ -107,20 +107,27 @@ class REGNet(nn.Module):
         region = cfg.region
 
         key = self.make_rng("sampling")
+
+        feature, score = self.score_net(pc, train=train)
+
         # --- sorted-slab mode (region.slab_cell > 0): order the cloud by
-        # (x-cell, random-within-cell) BEFORE the backbone.  Every stage
-        # is permutation-equivariant, so all per-point outputs simply
-        # come out in slab order (clouds are sets — exporters/evaluator
-        # are order-agnostic), and the grouping/crop kernels can scan
-        # only each query tile's spatial slab (ops/slab.py).
+        # (x-cell, random-within-cell) AFTER the backbone — the SA
+        # layers' bucketed neighbor selection needs the random index
+        # order (sorting collapses SA1 distinct neighbors 32 -> 7 and
+        # the trained score head with it), while the region/crop stages
+        # only need consistent rows.  All per-point outputs come out in
+        # slab order (clouds are sets — exporters/evaluator are
+        # order-agnostic), and the grouping/crop kernels scan only each
+        # query tile's spatial slab (ops/slab.py).
         sc = None
         if region.slab_cell > 0.0:
             from regnet_for_3d_grasping_tpu.ops import slab as slab_ops
             key, k_sort = jax.random.split(key)
             pc, sc = slab_ops.sort_cloud(k_sort, pc, region.slab_cell)
+            feature = jnp.take_along_axis(
+                feature, sc.order[..., None], axis=1)
+            score = jnp.take_along_axis(score, sc.order, axis=1)
         k_group, k_crop = jax.random.split(key)
-
-        feature, score = self.score_net(pc, train=train)
 
         # --- GRN: candidate centers + two region scales ------------------
         centers, center_idx = select_score_centers(
