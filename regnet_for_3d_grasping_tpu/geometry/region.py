@@ -298,6 +298,18 @@ def _use_slab_group(n: int, group_num: int) -> bool:
             and (_on_tpu() or SLAB_INTERPRET))
 
 
+def use_slab_backbone(n: int, sa1_neighbours: int) -> bool:
+    """Can SA1's ball query / the last FP's 3-NN run the slab kernels?
+    (models/regnet.py decides the sort-before vs sort-after-backbone
+    placement on this.)  SA1's selection geometry is win=256/spw=2 ->
+    16 slots per scan block (ops/slab.ball_query_slab)."""
+    from regnet_for_3d_grasping_tpu.ops import slab as _slab
+    return (sa1_neighbours % 16 == 0
+            and _slab.span_blocks_for(sa1_neighbours, 256, 2)
+            <= _slab.n_scan_blocks(n)
+            and (_on_tpu() or SLAB_INTERPRET))
+
+
 def _use_slab_crop(n: int, gripper_num: int) -> bool:
     from regnet_for_3d_grasping_tpu.ops import slab as _slab
     return (gripper_num % 8 == 0

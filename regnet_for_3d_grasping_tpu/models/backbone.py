@@ -22,6 +22,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 from regnet_for_3d_grasping_tpu import ops
 from regnet_for_3d_grasping_tpu.ops.knn import interpolation_weights
@@ -45,17 +46,27 @@ class SetAbstraction(nn.Module):
     # >1 = stratified approximate FPS (ops/fps.py groups param); exact by
     # default — quality-gate any change with tools/benchmark_eval.py
     fps_groups: int = 1
+    # sorted-slab ball query (ops/slab.ball_query_slab): used when the
+    # caller passes a SortedCloud over the SAME rows as `xyz`.  Scans only
+    # each centroid tile's spatial slab; selection is without-replacement
+    # per window (diversity ~= the bucket path's).  Quality-gated on the
+    # frozen suite (tools/benchmark_eval.py --slab-cell).
+    slab_cell: float = 0.0
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feature: Optional[jax.Array],
-                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+                 train: bool = False, sc=None
+                 ) -> Tuple[jax.Array, jax.Array]:
         """xyz [B,N,3], feature [B,N,C] -> (new_xyz [B,S,3], feat [B,S,C'])."""
         idx = ops.farthest_point_sample(xyz, self.num_centroids,
                                         groups=self.fps_groups)
         new_xyz = ops.gather_points(xyz, idx)
-        nidx, _ = ops.ball_query(xyz, new_xyz, self.radius,
-                                 self.num_neighbours,
-                                 method=self.ball_query_method)
+        if sc is not None and self.slab_cell > 0.0:
+            nidx = self._slab_ball_query(sc, new_xyz)
+        else:
+            nidx, _ = ops.ball_query(xyz, new_xyz, self.radius,
+                                     self.num_neighbours,
+                                     method=self.ball_query_method)
         # translation-normalized neighbourhood coords (modules.py:46)
         group_xyz = ops.group_points(xyz, nidx) - new_xyz[:, :, None, :]
         if feature is not None:
@@ -66,6 +77,27 @@ class SetAbstraction(nn.Module):
         h = SharedMLP(self.mlp_channels, dtype=self.dtype,
                       name="mlp")(group_feat, train=train)
         return new_xyz, jnp.max(h, axis=2)
+
+    def _slab_ball_query(self, sc, new_xyz: jax.Array) -> jax.Array:
+        """Slab ball query: x-sort the centroids for tile locality, then
+        restore FPS order on the returned rows (the deeper SA layers'
+        bucketed selection needs a spatially-mixed index order —
+        models/regnet.py slab-mode rationale)."""
+        from regnet_for_3d_grasping_tpu.geometry import region as _region
+        from regnet_for_3d_grasping_tpu.ops import slab as _slab
+        if self.has_rng("sampling"):
+            key = self.make_rng("sampling")
+            seed = jax.random.randint(key, (), 0, 2**31 - 1,
+                                      dtype=jnp.int32).astype(jnp.uint32)
+        else:
+            seed = jnp.uint32(0x5A1B)
+        c_ord = jnp.argsort(new_xyz[..., 0], axis=-1).astype(jnp.int32)
+        c_sorted = jnp.take_along_axis(new_xyz, c_ord[..., None], axis=1)
+        nidx_s, _cnt = _slab.ball_query_slab(
+            sc, c_sorted, seed, self.radius, self.num_neighbours,
+            self.slab_cell, interpret=_region.SLAB_INTERPRET)
+        inv = jnp.argsort(c_ord, axis=-1).astype(jnp.int32)
+        return jnp.take_along_axis(nidx_s, inv[..., None], axis=1)
 
 
 class SetAbstractionMSG(nn.Module):
@@ -141,19 +173,55 @@ class FeaturePropagation(nn.Module):
     mlp_channels: Sequence[int]
     num_neighbours: int = 3
     dtype: jnp.dtype | None = None
+    # sorted-slab 3-NN (ops/slab.three_nn_slab): exact ALWAYS — per-batch
+    # exactness certificate with a full-scan lax.cond fallback.  Enable
+    # only when dense_xyz is (cell-)x-sorted, or the slab bounds
+    # degenerate to full scans.
+    use_slab: bool = False
+    nn_bound: float = 0.06
 
     @nn.compact
     def __call__(self, dense_xyz: jax.Array, sparse_xyz: jax.Array,
                  dense_feature: Optional[jax.Array],
                  sparse_feature: jax.Array,
                  train: bool = False) -> jax.Array:
-        idx, d2 = ops.three_nn(dense_xyz, sparse_xyz, self.num_neighbours)
+        if self.use_slab and self.num_neighbours == 3:
+            idx, d2 = self._slab_three_nn(dense_xyz, sparse_xyz)
+        else:
+            idx, d2 = ops.three_nn(dense_xyz, sparse_xyz,
+                                   self.num_neighbours)
         w = interpolation_weights(d2)
         interp = ops.three_interpolate(sparse_feature, idx, w)
         if dense_feature is not None:
             interp = jnp.concatenate([interp, dense_feature], axis=-1)
         return SharedMLP(self.mlp_channels, dtype=self.dtype,
                          name="mlp")(interp, train=train)
+
+    def _slab_three_nn(self, dense_xyz: jax.Array, sparse_xyz: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+        """Slab 3-NN: x-sort the keys (remapping returned rows), take the
+        slab result when its exactness certificate holds for every query,
+        else fall back to the full scan — the result is ALWAYS the exact
+        3-NN.  d2 is recomputed from the gathered keys so gradients flow
+        to both clouds exactly as on the ops.three_nn path."""
+        from regnet_for_3d_grasping_tpu.geometry import region as _region
+        from regnet_for_3d_grasping_tpu.ops import slab as _slab
+        k_ord = jnp.argsort(sparse_xyz[..., 0], axis=-1).astype(jnp.int32)
+        key_sorted = jnp.take_along_axis(sparse_xyz, k_ord[..., None],
+                                         axis=1)
+        idx_s, _d2k, proven = _slab.three_nn_slab(
+            dense_xyz, key_sorted, bound=self.nn_bound,
+            interpret=_region.SLAB_INTERPRET)
+        idx_slab = jax.vmap(lambda o, i: o[i])(k_ord, idx_s)
+        idx = lax.cond(
+            jnp.all(proven),
+            lambda: idx_slab,
+            lambda: ops.three_nn(dense_xyz, sparse_xyz, 3)[0])
+        near = ops.group_points(sparse_xyz, idx)        # [B, Nq, 3, 3]
+        d2 = jnp.sum(
+            (dense_xyz[:, :, None, :].astype(jnp.float32)
+             - near.astype(jnp.float32)) ** 2, axis=-1)
+        return idx, d2
 
 
 class PointNet2Seg(nn.Module):
@@ -167,14 +235,22 @@ class PointNet2Seg(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, points: jax.Array,
-                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
-        """points [B,N,6] (xyz+rgb) -> (feature [B,N,256], score [B,N])."""
+    def __call__(self, points: jax.Array, train: bool = False,
+                 sc=None, slab_cell: float = 0.0
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """points [B,N,6] (xyz+rgb) -> (feature [B,N,256], score [B,N]).
+
+        `sc` (ops/slab.SortedCloud over the SAME rows as `points`) +
+        `slab_cell` > 0 switch SA1's ball query and the last FP's 3-NN to
+        the sorted-slab kernels (models/regnet.py passes these in slab
+        mode; every other entry point leaves them off).
+        """
         cfg = self.config
         xyz = points[..., :3]
         feature = points[..., 3:cfg.input_channels]
         if feature.shape[-1] == 0:
             feature = None
+        use_slab = sc is not None and slab_cell > 0.0
 
         # optional activation rematerialization (train-memory knob):
         # the neighbourhood-expanded SA tensors ([B,S,K,C]) dominate
@@ -198,7 +274,10 @@ class PointNet2Seg(nn.Module):
                 # SA1 holds ~96% of the FPS work (S*N); deeper layers
                 # stay exact — their inputs are FPS-ordered, not random
                 fps_groups=cfg.fps_groups if i == 0 else 1,
-                name=f"sa{i}")(xyz, feature, train)
+                # only SA1's point set is the sorted cloud
+                slab_cell=slab_cell if i == 0 else 0.0,
+                name=f"sa{i}")(xyz, feature, train,
+                               sc if (use_slab and i == 0) else None)
             inter_xyz.append(xyz)
             inter_feat.append(feature)
 
@@ -206,10 +285,14 @@ class PointNet2Seg(nn.Module):
         for i in range(len(cfg.fp_channels)):
             dense_xyz = inter_xyz[-2 - i]
             dense_feat = inter_feat[-2 - i]
+            last = i == len(cfg.fp_channels) - 1
             sparse_feat = FP(
                 mlp_channels=cfg.fp_channels[i],
                 num_neighbours=cfg.num_fp_neighbours[i],
                 dtype=self.dtype,
+                # the last FP's dense level is the (sorted) input cloud —
+                # the only level both big enough to matter and x-ordered
+                use_slab=use_slab and last,
                 name=f"fp{i}")(dense_xyz, sparse_xyz, dense_feat,
                                sparse_feat, train)
             sparse_xyz = dense_xyz

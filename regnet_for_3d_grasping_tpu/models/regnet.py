@@ -108,25 +108,35 @@ class REGNet(nn.Module):
 
         key = self.make_rng("sampling")
 
-        feature, score = self.score_net(pc, train=train)
-
         # --- sorted-slab mode (region.slab_cell > 0): order the cloud by
-        # (x-cell, random-within-cell) AFTER the backbone — the SA
-        # layers' bucketed neighbor selection needs the random index
-        # order (sorting collapses SA1 distinct neighbors 32 -> 7 and
-        # the trained score head with it), while the region/crop stages
-        # only need consistent rows.  All per-point outputs come out in
-        # slab order (clouds are sets — exporters/evaluator are
-        # order-agnostic), and the grouping/crop kernels scan only each
-        # query tile's spatial slab (ops/slab.py).
+        # (x-cell, random-within-cell) so the grouping/crop kernels scan
+        # only each query tile's spatial slab (ops/slab.py).  When the
+        # backbone's slab kernels qualify (TPU/interpret, SA1 K aligned),
+        # the sort happens BEFORE the backbone and SA1/FP3 run slab too
+        # (SA1's slab selection is without-replacement per window, so the
+        # neighbor diversity the plain bucketed selection loses on a
+        # sorted cloud — 32 -> 7 distinct, fatal to trained weights — is
+        # restored by construction).  Otherwise the backbone sees the
+        # original random-order cloud and only its outputs are re-sorted.
+        # All per-point outputs come out in slab order (clouds are sets —
+        # exporters/evaluator are order-agnostic).
         sc = None
         if region.slab_cell > 0.0:
             from regnet_for_3d_grasping_tpu.ops import slab as slab_ops
             key, k_sort = jax.random.split(key)
-            pc, sc = slab_ops.sort_cloud(k_sort, pc, region.slab_cell)
-            feature = jnp.take_along_axis(
-                feature, sc.order[..., None], axis=1)
-            score = jnp.take_along_axis(score, sc.order, axis=1)
+            if region_mod.use_slab_backbone(
+                    pc.shape[1], cfg.model.num_neighbours[0]):
+                pc, sc = slab_ops.sort_cloud(k_sort, pc, region.slab_cell)
+                feature, score = self.score_net(
+                    pc, train=train, sc=sc, slab_cell=region.slab_cell)
+            else:
+                feature, score = self.score_net(pc, train=train)
+                pc, sc = slab_ops.sort_cloud(k_sort, pc, region.slab_cell)
+                feature = jnp.take_along_axis(
+                    feature, sc.order[..., None], axis=1)
+                score = jnp.take_along_axis(score, sc.order, axis=1)
+        else:
+            feature, score = self.score_net(pc, train=train)
         k_group, k_crop = jax.random.split(key)
 
         # --- GRN: candidate centers + two region scales ------------------

@@ -24,8 +24,13 @@ class ScoreNet(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, pc: jax.Array,
-                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
-        """pc [B,N,6] -> (feature [B,N,256], score [B,N] in [0,1])."""
+    def __call__(self, pc: jax.Array, train: bool = False,
+                 sc=None, slab_cell: float = 0.0
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """pc [B,N,6] -> (feature [B,N,256], score [B,N] in [0,1]).
+
+        `sc`/`slab_cell`: sorted-slab kernel mode, see PointNet2Seg.
+        """
         return PointNet2Seg(self.config, dtype=self.dtype,
-                            name="backbone")(pc, train=train)
+                            name="backbone")(pc, train=train, sc=sc,
+                                             slab_cell=slab_cell)

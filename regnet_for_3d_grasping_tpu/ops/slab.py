@@ -168,6 +168,7 @@ def _emit_rows(idx_ref, row_list, k, off, in_span):
 
 
 def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
+                       win: int, spw: int, distinct: bool,
                        ss_ref, seed_ref, x_ref, c_ref,
                        idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
     b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -190,30 +191,40 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
         seed = seed_ref[0]
         col0 = k * _SCAN
         mrow = mt * _TM
-        rows = lax.broadcasted_iota(jnp.int32, (_TM, _WIN_GROUP), 0) + mrow
+        rows = lax.broadcasted_iota(jnp.int32, (_TM, win), 0) + mrow
+        iota_w = lax.broadcasted_iota(jnp.int32, (_TM, win), 1)
         row_list = []
-        for w in range(_SCAN // _WIN_GROUP):
+        for w in range(_SCAN // win):
             d2 = None
             for c in range(3):
-                xg = x_ref[c, w * _WIN_GROUP:(w + 1) * _WIN_GROUP]
+                xg = x_ref[c, w * win:(w + 1) * win]
                 diff = c_ref[c, :][:, None] - xg[None, :]   # [TM, WIN]
                 d2 = diff * diff if d2 is None else d2 + diff * diff
-            cols = lax.broadcasted_iota(jnp.int32, d2.shape, 1) \
-                + (col0 + w * _WIN_GROUP)
+            cols = iota_w + (col0 + w * win)
             mask = (d2 <= r2) & (cols < n_valid)
             cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
                                                     dtype=jnp.int32)
             ok = jnp.any(mask, axis=1)          # shared by all streams
             h = _hash23(rows, cols, seed)
-            for s in range(_SPW_GROUP):
-                hs = h if s == 0 else (h * _STREAM_ODD[s]) & 0x7FFFFF
-                # 23-bit scores are f32-exact; Mosaic argmax needs f32
-                val = jnp.where(mask, hs.astype(jnp.float32), -1.0)
+            # 23-bit scores are f32-exact; Mosaic argmax needs f32
+            val = jnp.where(mask, h.astype(jnp.float32), -1.0)
+            for s in range(spw):
+                if distinct and s > 0:
+                    # sample WITHOUT replacement within the window: mask
+                    # out the previous stream's winner (uniform top-spw
+                    # by one hash) — maximizes distinct neighbours for
+                    # the SA layers' max-pool
+                    val = jnp.where(iota_w == win_col[:, None],
+                                    -1.0, val)
+                elif not distinct and s > 0:
+                    hs = (h * _STREAM_ODD[s]) & 0x7FFFFF
+                    val = jnp.where(mask, hs.astype(jnp.float32), -1.0)
                 win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
-                win = col0 + w * _WIN_GROUP + win_col
-                row_list.append(jnp.where(ok, win, -1))
+                wrow = col0 + w * win + win_col
+                hit = ok if not distinct else jnp.any(val >= 0.0, axis=1)
+                row_list.append(jnp.where(hit, wrow, -1))
                 first_acc[0, :] = jnp.where(
-                    (first_acc[0, :] < 0) & ok & in_span, win,
+                    (first_acc[0, :] < 0) & hit & in_span, wrow,
                     first_acc[0, :])
         _emit_rows(idx_ref, row_list, k, off, in_span)
 
@@ -335,9 +346,15 @@ def _slab_select_call(kernel, B, Mp, K, nblk, interpret,
     )(ss, seed, *tensors)
 
 
+def span_blocks_for(k: int, win: int, spw: int) -> int:
+    """Selection-span blocks for K output slots at (win, spw) geometry."""
+    rps = spw * _SCAN // win
+    assert k % rps == 0, (k, win, spw)
+    return k // rps
+
+
 def group_span_blocks(group_num: int) -> int:
-    assert group_num % (_SPW_GROUP * _SCAN // _WIN_GROUP) == 0, group_num
-    return group_num * _WIN_GROUP // (_SPW_GROUP * _SCAN)
+    return span_blocks_for(group_num, _WIN_GROUP, _SPW_GROUP)
 
 
 def crop_span_blocks(gripper_num: int) -> int:
@@ -354,16 +371,22 @@ def _pad_cols(a: jax.Array, np_: int, value: float) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "group_num",
-                                             "cell", "interpret"))
+                                             "cell", "win", "spw",
+                                             "distinct", "interpret"))
 def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
                radius: float, group_num: int, cell: float,
-               interpret: bool = False):
+               win: int = _WIN_GROUP, spw: int = _SPW_GROUP,
+               distinct: bool = False, interpret: bool = False):
     """Slab radius grouping over a sorted cloud.
 
     Args:
       sc: sort_cloud output.  centers: [B, M, 3] query centers (sort by x
         for locality; correctness holds regardless).  seed: [] uint32.
       radius, group_num, cell: static.
+      win, spw, distinct: selection geometry — `spw` picks per `win`-wide
+        window; `distinct=True` samples without replacement within each
+        window (used by the SA-layer ball query, where max-pool diversity
+        matters and the span must cover the whole ball).
 
     Returns:
       index [B, M, K] int32 rows into sc.xyz (empty slots filled with the
@@ -376,7 +399,7 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
     B, N, _ = sc.xyz.shape
     M = centers.shape[1]
     K = group_num
-    span_b = group_span_blocks(K)
+    span_b = span_blocks_for(K, win, spw)
     nblk = n_scan_blocks(N)
     assert span_b <= nblk, (span_b, nblk)
 
@@ -390,7 +413,7 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
     seed = jnp.asarray(seed, jnp.uint32).reshape(1)
 
     kernel = functools.partial(_group_slab_kernel, float(radius) ** 2, N,
-                               span_b, K)
+                               span_b, K, win, spw, distinct)
     idx, cnt, first = _slab_select_call(kernel, B, Mp, K, nblk,
                                         interpret, ss, seed, x, c)
     idx = jnp.swapaxes(idx, 1, 2)[:, :M]
@@ -446,6 +469,184 @@ def crop_slab(sc: SortedCloud, frame: jax.Array, center: jax.Array,
     fill = jnp.maximum(first, 0)
     idx = jnp.where(idx >= 0, idx, fill[..., None])
     return idx, cnt, sel_any, ss[..., 2]
+
+
+def ball_query_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
+                    radius: float, num_neighbours: int, cell: float,
+                    interpret: bool = False
+                    ) -> tuple[jax.Array, jax.Array]:
+    """SA-layer ball query over a sorted cloud (ops/ball_query contract).
+
+    Selection geometry (win=256, spw=2, distinct): two without-replacement
+    picks per 256-wide window over a 4-block span — the span must cover
+    the ball's full candidate-row slab (~2-3 cells of rows either side of
+    the query tile), or edge windows become unselectable and the distinct-
+    neighbour count collapses; 4 blocks = 8192 rows covers it with ~60%
+    margin at the SA1 density.  `centers` must be x-sorted for tile
+    locality (any order is correct).
+
+    Returns (index [B, M, K] rows into sc.xyz, count [B, M] capped at K)
+    — short rows padded with the row's first hit (0 if none), the CUDA
+    contract (ball_query_kernel.cu:62-69).
+    """
+    idx, cnt, _sel, _off = group_slab(
+        sc, centers, seed, radius, num_neighbours, cell,
+        win=256, spw=2, distinct=True, interpret=interpret)
+    return idx, jnp.minimum(cnt, num_neighbours)
+
+
+# ---------------------------------------------------------------------------
+# Slab 3-NN (FP-layer interpolation search)
+# ---------------------------------------------------------------------------
+
+_SCAN_K = 512   # key-block width (keys are the sparse level, e.g. 5120)
+
+
+def _three_nn_slab_kernel(n_valid: int, ss_ref, xk_ref, q_ref,
+                          idx_ref, d_ref, d_acc, i_acc):
+    """Running 3 smallest squared distances per query over slab key
+    blocks.  d_acc/i_acc [3, TM] scratch persists across the k grid dim
+    (innermost, sequential)."""
+    b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_k = pl.num_programs(2)
+    start = ss_ref[b, mt, 0]
+    stop = ss_ref[b, mt, 1]
+
+    @pl.when(k == 0)
+    def _():
+        d_acc[...] = jnp.full(d_acc.shape, _BIG, jnp.float32)
+        i_acc[...] = jnp.zeros(i_acc.shape, jnp.int32)
+
+    @pl.when((k >= start) & (k < stop))
+    def _():
+        col0 = k * _SCAN_K
+        d2 = None
+        for c in range(3):
+            diff = q_ref[c, :][:, None] - xk_ref[c, :][None, :]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+        cols = lax.broadcasted_iota(jnp.int32, d2.shape, 1) + col0
+        d2 = jnp.where(cols < n_valid, d2, _BIG)
+        for _ in range(3):
+            # first-index argmin via min + min-where (tie-robust on
+            # Mosaic, CLAUDE.md)
+            bd = jnp.min(d2, axis=1)                         # [TM]
+            bi = jnp.min(jnp.where(d2 == bd[:, None], cols,
+                                   jnp.int32(2**31 - 1)), axis=1)
+            d2 = jnp.where(cols == bi[:, None], _BIG, d2)
+            # sorted insert into the (d_acc, i_acc) triple: shift larger
+            # entries up one slot, discard the final carry (max of 4)
+            dn, in_ = bd, bi
+            for slot in (0, 1, 2):
+                ds = d_acc[slot, :]
+                is_ = i_acc[slot, :]
+                take = dn < ds
+                d_acc[slot, :] = jnp.where(take, dn, ds)
+                i_acc[slot, :] = jnp.where(take, in_, is_)
+                dn = jnp.where(take, ds, dn)
+                in_ = jnp.where(take, is_, in_)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        idx_ref[...] = i_acc[...]
+        d_ref[...] = d_acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("bound", "interpret"))
+def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
+                  interpret: bool = False
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """3 nearest keys per query, scanning only keys with |kx - qx| within
+    each query tile's x-range + `bound`.
+
+    query [B, Nq, 3] (x-sorted for tile locality — correctness holds for
+    any order, speed doesn't), key [B, NK, 3] MUST be x-ascending.
+
+    Returns (index [B, Nq, 3] into key rows, d2 [B, Nq, 3] ascending,
+    proven [B] bool).  `proven` is the per-batch exactness certificate:
+    every query's found 3rd-NN is closer than the nearest unscanned key
+    could possibly be (out-of-slab => |kx - qx| alone exceeds the found
+    distance).  When False (query in a key-sparse region), fall back to
+    the full scan — the caller does this under lax.cond, so the fast
+    path stays exact with probability ~1 and EXACT always.
+    """
+    B, Nq, _ = query.shape
+    NK = key.shape[1]
+    nkb = n_scan_blocks_k(NK)
+    q = jnp.swapaxes(query.astype(jnp.float32), 1, 2)        # [B, 3, Nq]
+    mpad = (-Nq) % _TM
+    q = _pad_cols(q, Nq + mpad, 1e10)
+    Mp = Nq + mpad
+    T = Mp // _TM
+    xk = _pad_cols(jnp.swapaxes(key.astype(jnp.float32), 1, 2),
+                   nkb * _SCAN_K, 1e10)                      # [B, 3, NKp]
+
+    kx = key[..., 0].astype(jnp.float32)                     # [B, NK]
+    qt = q[:, 0, :].reshape(B, T, _TM)
+    lo = qt.min(-1) - bound
+    hi = qt.max(-1) + bound
+    srow = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left")
+                    )(kx, lo)
+    erow = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right")
+                    )(kx, hi)
+    start = jnp.clip(srow // _SCAN_K, 0, nkb - 1).astype(jnp.int32)
+    stop = jnp.clip(-(-erow // _SCAN_K), start + 1, nkb).astype(jnp.int32)
+    ss = jnp.stack([start, stop], axis=-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T, nkb),
+        in_specs=[
+            pl.BlockSpec((None, 3, _SCAN_K),
+                         lambda b, mt, k, ss_ref: (
+                             b, 0, jnp.clip(k, ss_ref[b, mt, 0],
+                                            ss_ref[b, mt, 1] - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, _TM),
+                         lambda b, mt, k, ss_ref: (b, 0, mt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 3, _TM),
+                         lambda b, mt, k, ss_ref: (b, 0, mt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, _TM),
+                         lambda b, mt, k, ss_ref: (b, 0, mt),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, _TM), jnp.float32),
+                        pltpu.VMEM((3, _TM), jnp.int32)],
+    )
+    idx, d2 = pl.pallas_call(
+        functools.partial(_three_nn_slab_kernel, NK),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 3, Mp), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 3, Mp), jnp.float32)],
+        interpret=interpret,
+    )(ss, xk, q)
+    idx = jnp.swapaxes(idx, 1, 2)[:, :Nq]
+    d2 = jnp.swapaxes(d2, 1, 2)[:, :Nq]
+
+    # exactness certificate: nearest unscanned key per tile, by x alone
+    left_row = start * _SCAN_K - 1
+    right_row = stop * _SCAN_K
+    left_x = jnp.where(
+        left_row >= 0,
+        jnp.take_along_axis(kx, jnp.maximum(left_row, 0), axis=1),
+        -jnp.float32(_BIG))                                   # [B, T]
+    right_x = jnp.where(
+        right_row < NK,
+        jnp.take_along_axis(kx, jnp.minimum(right_row, NK - 1), axis=1),
+        jnp.float32(_BIG))
+    qx = qt                                                   # [B, T, TM]
+    margin = jnp.minimum(qx - left_x[..., None],
+                         right_x[..., None] - qx)
+    margin = margin.reshape(B, Mp)[:, :Nq]
+    proven = jnp.all(d2[..., 2] <= margin * margin, axis=-1)  # [B]
+    return idx, d2, proven
+
+
+def n_scan_blocks_k(n: int) -> int:
+    return -(-n // _SCAN_K)
 
 
 # ---------------------------------------------------------------------------

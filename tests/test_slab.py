@@ -187,6 +187,115 @@ class TestGatherMaxSlab:
                                    np.asarray(g_ref).sum(1), atol=1e-4)
 
 
+class TestBallQuerySlab:
+    """SA-layer slab ball query (win=128/spw=2, without-replacement)."""
+
+    def test_counts_and_membership(self):
+        # realistic tiling: many x-sorted centers per 128-query tile, as
+        # SA1's 5120 centroids give — a handful of wide-spread centers
+        # makes tiles wider than the selection span by construction
+        pts = _cloud(B=1, N=9216, seed=3)   # 2.5D slab-friendly cloud
+        rng = np.random.RandomState(4)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(7), jnp.asarray(pts),
+                                CELL)
+        M, K, R = 1024, 64, 0.04
+        c = _sorted_centers(np.asarray(sc.xyz), M, rng)
+        idx, cnt = slab.ball_query_slab(sc, jnp.asarray(c), jnp.uint32(9),
+                                        R, K, CELL, interpret=True)
+        xyz = np.asarray(sc.xyz)
+        d2 = ((c[:, :, None] - xyz[:, None]) ** 2).sum(-1)
+        ref_cnt = (d2 <= R * R).sum(-1)
+        np.testing.assert_array_equal(np.asarray(cnt),
+                                      np.minimum(ref_cnt, K))
+        ii = np.asarray(idx)[0]
+        sel_d2 = np.take_along_axis(d2[0], ii, axis=1)
+        has = ref_cnt[0] > 0
+        # every selected row of a non-empty query is in radius (the fill
+        # convention repeats the row's first winner)
+        frac_ok = float((sel_d2[has] <= R * R + 1e-9).all(axis=1).mean())
+        assert frac_ok >= 0.99, frac_ok
+
+    def test_distinct_neighbour_diversity(self):
+        """The without-replacement selection must keep the distinct-
+        neighbour count near the bucket path's on a DENSE cloud — the
+        property whose loss broke the trained backbone on sorted input."""
+        from regnet_for_3d_grasping_tpu.ops import ball_query
+
+        rng = np.random.RandomState(5)
+        N, M, K, R = 25600, 2048, 64, 0.02
+        pts = rng.uniform(-0.3, 0.3, (1, N, 3)).astype(np.float32)
+        pts[..., 2] *= 0.05                       # tabletop-like density
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(1), jnp.asarray(pts),
+                                CELL)
+        xyz = np.asarray(sc.xyz)
+        c = _sorted_centers(xyz, M, rng)
+        idx, cnt = slab.ball_query_slab(sc, jnp.asarray(c), jnp.uint32(3),
+                                        R, K, CELL, interpret=True)
+        bidx, bcnt = ball_query(jnp.asarray(pts), jnp.asarray(c), R, K,
+                                method="bucket")
+        ii, bi = np.asarray(idx)[0], np.asarray(bidx)[0]
+        pop = np.asarray(cnt)[0]
+        rows = pop >= 8                   # rows where diversity matters
+        d_slab = np.array([len(np.unique(ii[m])) for m in range(M)])
+        d_buck = np.array([len(np.unique(bi[m])) for m in range(M)])
+        # the slab selection's distinct count is structurally capped at
+        # ~(ball x-range / tile span) * K slots — about half the bucket
+        # path's at this density.  What broke the trained backbone was
+        # the 32 -> 7 collapse of *biased* (one-edge) samples; here the
+        # picks stay uniform over the whole ball.  The quality arbiter
+        # is the frozen-suite VGR gate (tools/benchmark_eval.py
+        # --slab-cell); this test pins the floor so a regression to the
+        # collapsed regime is caught on CPU.
+        assert d_slab[rows].mean() >= 0.45 * d_buck[rows].mean(), (
+            d_slab[rows].mean(), d_buck[rows].mean())
+        assert d_slab[rows].mean() >= 12.0
+
+
+class TestThreeNNSlab:
+    def test_exact_when_proven(self):
+        pts = _cloud(B=2, N=4096, seed=6)
+        rng = np.random.RandomState(7)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(2), jnp.asarray(pts),
+                                CELL)
+        NK = 1024
+        keys = np.stack([pts[b][rng.choice(pts.shape[1], NK, False)]
+                         for b in range(pts.shape[0])])
+        keys = np.stack([k[np.argsort(k[:, 0])] for k in keys])
+        qi, qd, proven = slab.three_nn_slab(sc.xyz, jnp.asarray(keys),
+                                            bound=0.08, interpret=True)
+        xyz = np.asarray(sc.xyz)
+        for b in range(2):
+            dd = ((xyz[b][:, None] - keys[b][None]) ** 2).sum(-1)
+            ref_i = np.argsort(dd, axis=1)[:, :3]
+            ref_d = np.sort(dd, axis=1)[:, :3]
+            got_i, got_d = np.asarray(qi)[b], np.asarray(qd)[b]
+            if bool(np.asarray(proven)[b]):
+                np.testing.assert_allclose(got_d, ref_d, atol=1e-9)
+                same = (np.sort(got_i, 1) == np.sort(ref_i, 1)).all(1)
+                assert same.all()
+            else:
+                # certificate correctly refuses: at least the flagged
+                # queries must be the only mismatches
+                same = (np.sort(got_i, 1) == np.sort(ref_i, 1)).all(1)
+                margin_ok = got_d[:, 2] <= 0.08 ** 2  # conservative bound
+                assert same[margin_ok].all()
+
+    def test_certificate_triggers_on_sparse_keys(self):
+        """Keys clustered far from some queries -> unproven, and the FP
+        fallback path returns the exact result anyway."""
+        rng = np.random.RandomState(8)
+        pts = rng.uniform(-0.3, 0.3, (1, 2048, 3)).astype(np.float32)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(3), jnp.asarray(pts),
+                                CELL)
+        # >1 key block so distant queries can actually skip keys (a
+        # single block is a full scan — trivially exact and proven)
+        keys = rng.uniform(0.25, 0.3, (1, 2048, 3)).astype(np.float32)
+        keys = keys[:, np.argsort(keys[0, :, 0])]
+        qi, qd, proven = slab.three_nn_slab(sc.xyz, jnp.asarray(keys),
+                                            bound=0.05, interpret=True)
+        assert not bool(np.asarray(proven)[0])
+
+
 class TestSlabModelPath:
     def test_full_cascade_slab_mode(self):
         """End-to-end REGNet forward with region.slab_cell > 0 on the CPU
