@@ -186,7 +186,8 @@ class FeaturePropagation(nn.Module):
                  sparse_feature: jax.Array,
                  train: bool = False) -> jax.Array:
         if self.use_slab and self.num_neighbours == 3:
-            idx, d2 = self._slab_three_nn(dense_xyz, sparse_xyz)
+            idx, d2, sparse_feature = self._slab_three_nn(
+                dense_xyz, sparse_xyz, sparse_feature)
         else:
             idx, d2 = ops.three_nn(dense_xyz, sparse_xyz,
                                    self.num_neighbours)
@@ -197,31 +198,35 @@ class FeaturePropagation(nn.Module):
         return SharedMLP(self.mlp_channels, dtype=self.dtype,
                          name="mlp")(interp, train=train)
 
-    def _slab_three_nn(self, dense_xyz: jax.Array, sparse_xyz: jax.Array
-                       ) -> Tuple[jax.Array, jax.Array]:
-        """Slab 3-NN: x-sort the keys (remapping returned rows), take the
-        slab result when its exactness certificate holds for every query,
-        else fall back to the full scan — the result is ALWAYS the exact
-        3-NN.  d2 is recomputed from the gathered keys so gradients flow
-        to both clouds exactly as on the ops.three_nn path."""
+    def _slab_three_nn(self, dense_xyz: jax.Array, sparse_xyz: jax.Array,
+                       sparse_feature: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Slab 3-NN: x-sort the keys, take the slab result when its
+        exactness certificate holds for every query, else fall back to
+        the full scan — the result is ALWAYS the exact 3-NN.
+
+        Returned indices address the x-SORTED key order, with
+        `sparse_feature` permuted to match — one fat [NK, C] row gather
+        instead of remapping the [Nq, 3] index tensor (thin-row gathers
+        run at 3/128 lane utilization, CLAUDE.md).  d2 comes straight
+        from the kernel (f32, same arithmetic as ops.three_nn); the
+        slab path is serving-only, so the xyz gradient ops.three_nn's
+        d2 would carry is documented away rather than recomputed."""
         from regnet_for_3d_grasping_tpu.geometry import region as _region
         from regnet_for_3d_grasping_tpu.ops import slab as _slab
         k_ord = jnp.argsort(sparse_xyz[..., 0], axis=-1).astype(jnp.int32)
         key_sorted = jnp.take_along_axis(sparse_xyz, k_ord[..., None],
                                          axis=1)
-        idx_s, _d2k, proven = _slab.three_nn_slab(
+        feat_sorted = jnp.take_along_axis(sparse_feature,
+                                          k_ord[..., None], axis=1)
+        idx_s, d2_s, proven = _slab.three_nn_slab(
             dense_xyz, key_sorted, bound=self.nn_bound,
             interpret=_region.SLAB_INTERPRET)
-        idx_slab = jax.vmap(lambda o, i: o[i])(k_ord, idx_s)
-        idx = lax.cond(
+        idx, d2 = lax.cond(
             jnp.all(proven),
-            lambda: idx_slab,
-            lambda: ops.three_nn(dense_xyz, sparse_xyz, 3)[0])
-        near = ops.group_points(sparse_xyz, idx)        # [B, Nq, 3, 3]
-        d2 = jnp.sum(
-            (dense_xyz[:, :, None, :].astype(jnp.float32)
-             - near.astype(jnp.float32)) ** 2, axis=-1)
-        return idx, d2
+            lambda: (idx_s, d2_s),
+            lambda: ops.three_nn(dense_xyz, key_sorted, 3))
+        return idx, d2, feat_sorted
 
 
 class PointNet2Seg(nn.Module):

@@ -188,25 +188,31 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
 
     @pl.when(in_scan)
     def _():
+        # transposed layout: scanned points on SUBLANES, queries on
+        # LANES — every reduction (count, any, argmax) runs over the
+        # sublane axis as an elementwise tree instead of a cross-lane
+        # shuffle cascade (~8x cheaper; measured 2x+ end-to-end)
         seed = seed_ref[0]
         col0 = k * _SCAN
         mrow = mt * _TM
-        rows = lax.broadcasted_iota(jnp.int32, (_TM, win), 0) + mrow
-        iota_w = lax.broadcasted_iota(jnp.int32, (_TM, win), 1)
+        rows = lax.broadcasted_iota(jnp.int32, (win, _TM), 1) + mrow
+        iota_w = lax.broadcasted_iota(jnp.int32, (win, _TM), 0)
+        imax = jnp.int32(2**31 - 1)
         row_list = []
         for w in range(_SCAN // win):
             d2 = None
             for c in range(3):
-                xg = x_ref[c, w * win:(w + 1) * win]
-                diff = c_ref[c, :][:, None] - xg[None, :]   # [TM, WIN]
+                xg = x_ref[w * win:(w + 1) * win, c:c + 1]   # [WIN, 1]
+                diff = xg - c_ref[c, :][None, :]             # [WIN, TM]
                 d2 = diff * diff if d2 is None else d2 + diff * diff
             cols = iota_w + (col0 + w * win)
             mask = (d2 <= r2) & (cols < n_valid)
-            cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
+            cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=0,
                                                     dtype=jnp.int32)
-            ok = jnp.any(mask, axis=1)          # shared by all streams
+            ok = jnp.any(mask, axis=0)          # shared by all streams
             h = _hash23(rows, cols, seed)
-            # 23-bit scores are f32-exact; Mosaic argmax needs f32
+            # 23-bit scores are f32-exact (int compare would work too,
+            # but f32 keeps the max/min-where pattern uniform)
             val = jnp.where(mask, h.astype(jnp.float32), -1.0)
             for s in range(spw):
                 if distinct and s > 0:
@@ -214,14 +220,19 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
                     # out the previous stream's winner (uniform top-spw
                     # by one hash) — maximizes distinct neighbours for
                     # the SA layers' max-pool
-                    val = jnp.where(iota_w == win_col[:, None],
+                    val = jnp.where(iota_w == win_col[None, :],
                                     -1.0, val)
                 elif not distinct and s > 0:
                     hs = (h * _STREAM_ODD[s]) & 0x7FFFFF
                     val = jnp.where(mask, hs.astype(jnp.float32), -1.0)
-                win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
+                # first-index argmax as max + min-where (tie semantics
+                # identical to jnp.argmax: lowest winning column)
+                vmax = jnp.max(val, axis=0)
+                win_col = jnp.min(jnp.where(val == vmax[None, :],
+                                            iota_w, imax),
+                                  axis=0).astype(jnp.int32)
                 wrow = col0 + w * win + win_col
-                hit = ok if not distinct else jnp.any(val >= 0.0, axis=1)
+                hit = ok if not distinct else jnp.any(val >= 0.0, axis=0)
                 row_list.append(jnp.where(hit, wrow, -1))
                 first_acc[0, :] = jnp.where(
                     (first_acc[0, :] < 0) & hit & in_span, wrow,
@@ -257,30 +268,35 @@ def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
 
     @pl.when(in_scan)
     def _():
+        # transposed layout: points on sublanes, queries on lanes
+        # (see _group_slab_kernel)
         seed = seed_ref[0]
         col0 = k * _SCAN
         mrow = mt * _TM
-        rows = lax.broadcasted_iota(jnp.int32, (_TM, _WIN_CROP), 0) + mrow
+        rows = lax.broadcasted_iota(jnp.int32, (_WIN_CROP, _TM), 1) + mrow
+        iota_w = lax.broadcasted_iota(jnp.int32, (_WIN_CROP, _TM), 0)
+        imax = jnp.int32(2**31 - 1)
         row_list = []
         for w in range(_SCAN // _WIN_CROP):
-            rel = [x_ref[c, w * _WIN_CROP:(w + 1) * _WIN_CROP][None, :]
-                   - c_ref[c, :][:, None] for c in range(3)]  # 3x[TM,WIN]
-            loc = [f_ref[0 + j, :][:, None] * rel[0]
-                   + f_ref[3 + j, :][:, None] * rel[1]
-                   + f_ref[6 + j, :][:, None] * rel[2] for j in range(3)]
-            cols = lax.broadcasted_iota(jnp.int32, loc[0].shape, 1) \
-                + (col0 + w * _WIN_CROP)
+            rel = [x_ref[w * _WIN_CROP:(w + 1) * _WIN_CROP, c:c + 1]
+                   - c_ref[c, :][None, :] for c in range(3)]  # 3x[WIN,TM]
+            loc = [f_ref[0 + j, :][None, :] * rel[0]
+                   + f_ref[3 + j, :][None, :] * rel[1]
+                   + f_ref[6 + j, :][None, :] * rel[2] for j in range(3)]
+            cols = iota_w + (col0 + w * _WIN_CROP)
             mask = ((loc[0] > xlo) & (loc[0] < xhi)
                     & (jnp.abs(loc[1]) < yabs) & (jnp.abs(loc[2]) < zabs)
                     & (cols < n_valid))
-            cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
+            cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=0,
                                                     dtype=jnp.int32)
-            # 23-bit scores are f32-exact; Mosaic argmax needs f32
+            # 23-bit scores are f32-exact
             val = jnp.where(mask,
                             _hash23(rows, cols, seed).astype(jnp.float32),
                             -1.0)
-            win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
-            ok = jnp.any(mask, axis=1)
+            vmax = jnp.max(val, axis=0)
+            win_col = jnp.min(jnp.where(val == vmax[None, :], iota_w,
+                                        imax), axis=0).astype(jnp.int32)
+            ok = jnp.any(mask, axis=0)
             win = col0 + w * _WIN_CROP + win_col
             row_list.append(jnp.where(ok, win, -1))
             first_acc[0, :] = jnp.where(
@@ -297,19 +313,19 @@ def _slab_select_call(kernel, B, Mp, K, nblk, interpret,
                       ss, seed, *tensors):
     """Shared pallas_call plumbing for the two selection kernels.
 
-    tensors[0] is the [B, 3, nblk*_SCAN] sorted cloud (scanned at the
-    prefetched slab block index); the rest are [B, rows, Mp] per-query
-    tensors tiled along the query dimension."""
+    tensors[0] is the [B, nblk*_SCAN, 3] sorted cloud — points on the
+    SUBLANE axis (scanned at the prefetched slab block index); the rest
+    are [B, rows, Mp] per-query tensors tiled along the query dim."""
     T = Mp // _TM
     grid = (B, T, nblk)
 
     def x_map(b, mt, k, ss_ref):
         lo = ss_ref[b, mt, 0]
         hi = ss_ref[b, mt, 1] - 1
-        return (b, 0, jnp.clip(k, lo, hi))
+        return (b, jnp.clip(k, lo, hi), 0)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((None, 3, _SCAN), x_map,
+                pl.BlockSpec((None, _SCAN, 3), x_map,
                              memory_space=pltpu.VMEM)]
     for t in tensors[1:]:
         in_specs.append(pl.BlockSpec(
@@ -362,6 +378,14 @@ def crop_span_blocks(gripper_num: int) -> int:
     return gripper_num * _WIN_CROP // (_SPW_CROP * _SCAN)
 
 
+def _pad_rows(a: jax.Array, np_: int, value: float) -> jax.Array:
+    """Pad axis 1 (the point/row axis) of [B, N, C] to np_ rows."""
+    pad = np_ - a.shape[1]
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad), (0, 0)), constant_values=value)
+    return a
+
+
 def _pad_cols(a: jax.Array, np_: int, value: float) -> jax.Array:
     pad = np_ - a.shape[-1]
     if pad:
@@ -403,7 +427,7 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
     nblk = n_scan_blocks(N)
     assert span_b <= nblk, (span_b, nblk)
 
-    x = _pad_cols(jnp.swapaxes(sc.xyz, 1, 2), nblk * _SCAN, 1e10)
+    x = _pad_rows(sc.xyz, nblk * _SCAN, 1e10)
     mpad = (-M) % _TM
     c = jnp.swapaxes(centers[..., :3].astype(jnp.float32), 1, 2)
     c = _pad_cols(c, M + mpad, 1e10)
@@ -443,7 +467,7 @@ def crop_slab(sc: SortedCloud, frame: jax.Array, center: jax.Array,
     nblk = n_scan_blocks(N)
     assert span_b <= nblk, (span_b, nblk)
 
-    x = _pad_cols(jnp.swapaxes(sc.xyz, 1, 2), nblk * _SCAN, 1e10)
+    x = _pad_rows(sc.xyz, nblk * _SCAN, 1e10)
     mpad = (-M) % _TM
     f = jnp.swapaxes(frame.reshape(B, M, 9), 1, 2)          # [B, 9, M]
     f = _pad_cols(f.astype(jnp.float32), M + mpad, 0.0)
@@ -499,7 +523,12 @@ def ball_query_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
 # Slab 3-NN (FP-layer interpolation search)
 # ---------------------------------------------------------------------------
 
-_SCAN_K = 512   # key-block width (keys are the sparse level, e.g. 5120)
+# grid-step overhead dominates this kernel (~1 us/step; the slab skips
+# most steps' compute but not the step): wide key blocks + 256-row query
+# tiles cut the step count 4x vs the selection kernels' (2048, 128)
+# geometry — measured on chip (tools notes in docs/ROADMAP.md)
+_SCAN_K = 1024  # key-block width (keys are the sparse level, e.g. 5120)
+_TM_K = 256     # queries per tile (3-NN kernel only)
 
 
 def _three_nn_slab_kernel(n_valid: int, ss_ref, xk_ref, q_ref,
@@ -519,20 +548,23 @@ def _three_nn_slab_kernel(n_valid: int, ss_ref, xk_ref, q_ref,
 
     @pl.when((k >= start) & (k < stop))
     def _():
+        # transposed layout: keys on sublanes, queries on lanes — the
+        # six reductions per block run over the sublane axis as
+        # elementwise trees, not cross-lane shuffles
         col0 = k * _SCAN_K
         d2 = None
         for c in range(3):
-            diff = q_ref[c, :][:, None] - xk_ref[c, :][None, :]
+            diff = xk_ref[:, c:c + 1] - q_ref[c, :][None, :]
             d2 = diff * diff if d2 is None else d2 + diff * diff
-        cols = lax.broadcasted_iota(jnp.int32, d2.shape, 1) + col0
+        cols = lax.broadcasted_iota(jnp.int32, d2.shape, 0) + col0
         d2 = jnp.where(cols < n_valid, d2, _BIG)
         for _ in range(3):
             # first-index argmin via min + min-where (tie-robust on
             # Mosaic, CLAUDE.md)
-            bd = jnp.min(d2, axis=1)                         # [TM]
-            bi = jnp.min(jnp.where(d2 == bd[:, None], cols,
-                                   jnp.int32(2**31 - 1)), axis=1)
-            d2 = jnp.where(cols == bi[:, None], _BIG, d2)
+            bd = jnp.min(d2, axis=0)                         # [TM]
+            bi = jnp.min(jnp.where(d2 == bd[None, :], cols,
+                                   jnp.int32(2**31 - 1)), axis=0)
+            d2 = jnp.where(cols == bi[None, :], _BIG, d2)
             # sorted insert into the (d_acc, i_acc) triple: shift larger
             # entries up one slot, discard the final carry (max of 4)
             dn, in_ = bd, bi
@@ -573,15 +605,15 @@ def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
     NK = key.shape[1]
     nkb = n_scan_blocks_k(NK)
     q = jnp.swapaxes(query.astype(jnp.float32), 1, 2)        # [B, 3, Nq]
-    mpad = (-Nq) % _TM
+    mpad = (-Nq) % _TM_K
     q = _pad_cols(q, Nq + mpad, 1e10)
     Mp = Nq + mpad
-    T = Mp // _TM
-    xk = _pad_cols(jnp.swapaxes(key.astype(jnp.float32), 1, 2),
-                   nkb * _SCAN_K, 1e10)                      # [B, 3, NKp]
+    T = Mp // _TM_K
+    xk = _pad_rows(key.astype(jnp.float32), nkb * _SCAN_K,
+                   1e10)                                     # [B, NKp, 3]
 
     kx = key[..., 0].astype(jnp.float32)                     # [B, NK]
-    qt = q[:, 0, :].reshape(B, T, _TM)
+    qt = q[:, 0, :].reshape(B, T, _TM_K)
     lo = qt.min(-1) - bound
     hi = qt.max(-1) + bound
     srow = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left")
@@ -596,25 +628,25 @@ def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
         num_scalar_prefetch=1,
         grid=(B, T, nkb),
         in_specs=[
-            pl.BlockSpec((None, 3, _SCAN_K),
+            pl.BlockSpec((None, _SCAN_K, 3),
                          lambda b, mt, k, ss_ref: (
-                             b, 0, jnp.clip(k, ss_ref[b, mt, 0],
-                                            ss_ref[b, mt, 1] - 1)),
+                             b, jnp.clip(k, ss_ref[b, mt, 0],
+                                         ss_ref[b, mt, 1] - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 3, _TM),
+            pl.BlockSpec((None, 3, _TM_K),
                          lambda b, mt, k, ss_ref: (b, 0, mt),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, 3, _TM),
+            pl.BlockSpec((None, 3, _TM_K),
                          lambda b, mt, k, ss_ref: (b, 0, mt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 3, _TM),
+            pl.BlockSpec((None, 3, _TM_K),
                          lambda b, mt, k, ss_ref: (b, 0, mt),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((3, _TM), jnp.float32),
-                        pltpu.VMEM((3, _TM), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((3, _TM_K), jnp.float32),
+                        pltpu.VMEM((3, _TM_K), jnp.int32)],
     )
     idx, d2 = pl.pallas_call(
         functools.partial(_three_nn_slab_kernel, NK),

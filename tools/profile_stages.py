@@ -40,6 +40,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--centers", type=int, default=4000)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--slab-cell", type=float, default=0.0,
+                   help="profile the sorted-slab stages (ops/slab.py) "
+                        "and the FULL forward in slab mode")
+    p.add_argument("--fps-groups", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -55,20 +59,49 @@ def main():
     from regnet_for_3d_grasping_tpu.models import REGNet, ScoreNet
     from regnet_for_3d_grasping_tpu.utils.config import infer_config
 
-    cfg = infer_config(**{"region.center_num": args.centers})
+    cfg = infer_config(**{"region.center_num": args.centers,
+                          "region.slab_cell": args.slab_cell,
+                          "model.fps_groups": args.fps_groups,
+                          "region.center_fps_groups": args.fps_groups})
     dtype = jnp.bfloat16 if args.bf16 else None
     scene = make_synthetic_scene(0, num_view=cfg.region.num_points)
     pc = jnp.asarray(np.c_[scene["view_cloud"],
                            scene["view_cloud_color"]][None].astype(
                                np.float32))
     print(f"device={jax.devices()[0]}  centers={args.centers}  "
-          f"dtype={'bf16' if args.bf16 else 'f32'}")
+          f"dtype={'bf16' if args.bf16 else 'f32'}  "
+          f"slab_cell={args.slab_cell}  fps_groups={args.fps_groups}")
+
+    if args.slab_cell > 0.0:
+        from regnet_for_3d_grasping_tpu.ops import slab as slab_ops
+        cell = args.slab_cell
+        bench("sort_cloud (once per forward)",
+              lambda p_: slab_ops.sort_cloud(jax.random.PRNGKey(0), p_,
+                                             cell), pc)
+        pc_s, sc = slab_ops.sort_cloud(jax.random.PRNGKey(0), pc, cell)
+        sa1 = cfg.model
+        cj = ops.gather_points(sc.xyz, ops.farthest_point_sample(
+            sc.xyz, sa1.num_centroids[0], groups=args.fps_groups))
+        cj = jnp.take_along_axis(
+            cj, jnp.argsort(cj[..., 0], axis=-1)[..., None], axis=1)
+        bench("SA1 slab ball query",
+              lambda s_, c_: slab_ops.ball_query_slab(
+                  s_, c_, jnp.uint32(7), sa1.radii[0],
+                  sa1.num_neighbours[0], cell), sc, cj)
+        bench("FP3 slab three-NN",
+              lambda q_, k_: slab_ops.three_nn_slab(q_, k_, bound=0.06),
+              sc.xyz, cj)
 
     snet = ScoreNet(cfg.model, dtype=dtype)
     sv = jax.jit(lambda: snet.init(jax.random.PRNGKey(0), pc))()
     snet_apply = jax.jit(lambda x: snet.apply(sv, x))
     feature, score = snet_apply(pc)     # compile once, reuse below
-    bench("ScoreNet backbone", snet_apply, pc)
+    bench("ScoreNet backbone (no-slab entry)", snet_apply, pc)
+    if args.slab_cell > 0.0:
+        snet_slab = jax.jit(lambda x, s: snet.apply(
+            sv, x, sc=s, slab_cell=args.slab_cell,
+            rngs={"sampling": jax.random.PRNGKey(3)}))
+        bench("ScoreNet backbone (slab SA1+FP3)", snet_slab, pc_s, sc)
     centers, _ = R.select_score_centers(pc, score, cfg.region.center_num,
                                         cfg.region.score_thre)
     key = jax.random.PRNGKey(0)
