@@ -67,13 +67,25 @@ class SetAbstraction(nn.Module):
             nidx, _ = ops.ball_query(xyz, new_xyz, self.radius,
                                      self.num_neighbours,
                                      method=self.ball_query_method)
-        # translation-normalized neighbourhood coords (modules.py:46)
-        group_xyz = ops.group_points(xyz, nidx) - new_xyz[:, :, None, :]
-        if feature is not None:
+        # translation-normalized neighbourhood coords (modules.py:46).
+        # Narrow features (SA1's rgb) ride the xyz gather: one 6-channel
+        # row gather instead of two 3-channel ones (thin-row gathers are
+        # row-count-bound, CLAUDE.md — merging halves the row fetches)
+        if feature is not None and feature.shape[-1] <= 16:
+            g = ops.group_points(
+                jnp.concatenate([xyz, feature.astype(xyz.dtype)], -1),
+                nidx)
+            group_xyz = g[..., :3] - new_xyz[:, :, None, :]
+            group_feat = jnp.concatenate(
+                [group_xyz, g[..., 3:].astype(feature.dtype)], axis=-1)
+        elif feature is not None:
+            group_xyz = ops.group_points(xyz, nidx) \
+                - new_xyz[:, :, None, :]
             group_feat = ops.group_points(feature, nidx)
             group_feat = jnp.concatenate([group_xyz, group_feat], axis=-1)
         else:
-            group_feat = group_xyz
+            group_feat = ops.group_points(xyz, nidx) \
+                - new_xyz[:, :, None, :]
         h = SharedMLP(self.mlp_channels, dtype=self.dtype,
                       name="mlp")(group_feat, train=train)
         return new_xyz, jnp.max(h, axis=2)

@@ -86,12 +86,15 @@ def sort_cloud(key: jax.Array, pc: jax.Array, cell: float
     B, N = x.shape
     orig = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     operands = (sortkey,) + tuple(
-        pc[..., c] for c in range(pc.shape[-1])) \
-        + (cid.astype(jnp.int32), orig)
+        pc[..., c] for c in range(pc.shape[-1])) + (orig,)
     s = lax.sort(operands, dimension=-1, num_keys=1)
     pc_sorted = jnp.stack(s[1:1 + pc.shape[-1]], axis=-1)
     xs = pc_sorted[..., :3].astype(jnp.float32)
-    return pc_sorted, SortedCloud(xs, s[-2], s[-1])
+    # cell ids are a pure function of x — recompute from the sorted x
+    # instead of paying a ninth sort operand
+    cell_row = jnp.clip(jnp.floor(xs[..., 0] / jnp.float32(cell)),
+                        -1e6, 1e6).astype(jnp.int32)
+    return pc_sorted, SortedCloud(xs, cell_row, s[-1])
 
 
 def n_scan_blocks(n: int) -> int:

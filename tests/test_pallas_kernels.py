@@ -319,6 +319,27 @@ class TestSlabKernels:
                                               jnp.uint32(9), box, 64)
         np.testing.assert_array_equal(np.asarray(ccnt), np.asarray(fcnt))
 
+    def test_ball_query_slab_counts_exact(self):
+        slab, sc, centers, rng = self._scene()
+        idx, cnt = slab.ball_query_slab(sc, centers, jnp.uint32(11),
+                                        0.02, 64, 0.04)
+        d2 = jnp.sum((centers[0][:, None] - sc.xyz[0][None]) ** 2, -1)
+        ref = jnp.minimum(jnp.sum(d2 <= 0.02 ** 2, -1), 64)
+        np.testing.assert_array_equal(np.asarray(cnt[0]), np.asarray(ref))
+
+    def test_three_nn_slab_exact_when_proven(self):
+        slab, sc, centers, rng = self._scene()
+        from regnet_for_3d_grasping_tpu.ops import three_nn
+        keys = np.asarray(sc.xyz[0])[rng.choice(25600, 5120, False)]
+        keys = jnp.asarray(keys[np.argsort(keys[:, 0])][None])
+        qi, qd, proven = slab.three_nn_slab(sc.xyz, keys, bound=0.045)
+        assert bool(np.asarray(proven)[0])
+        ri, rd = three_nn(sc.xyz, keys, 3)
+        np.testing.assert_array_equal(np.sort(np.asarray(qi[0]), axis=1),
+                                      np.sort(np.asarray(ri[0]), axis=1))
+        np.testing.assert_allclose(np.asarray(qd[0]), np.asarray(rd[0]),
+                                   atol=1e-6)
+
     def test_gather_max_slab_exact(self):
         from regnet_for_3d_grasping_tpu.ops.grouping import group_points
         slab, sc, centers, rng = self._scene()
