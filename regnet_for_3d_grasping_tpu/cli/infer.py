@@ -51,6 +51,19 @@ def build_parser():
                    help="iterative refinement passes (the reference "
                         "defines this flag but never implements it, "
                         "train.py:27; here >1 re-crops and re-refines)")
+    p.add_argument("--fast", action="store_true",
+                   help="the quality-gated serving configuration "
+                        "(bf16 + sorted-slab kernels cell=0.04 + "
+                        "stratified FPS G=8): ~3x the exact config's "
+                        "throughput on TPU, frozen-suite VGR 0.966/"
+                        "0.972 vs 0.933/0.947 exact "
+                        "(docs/evidence/metrics_r03.json)")
+    p.add_argument("--slab-cell", type=float, default=-1.0,
+                   help="override the sorted-slab cell (0 = exact full "
+                        "scans; default: 0.04 with --fast else 0)")
+    p.add_argument("--fps-groups", type=int, default=-1,
+                   help="override stratified-FPS groups (1 = exact; "
+                        "default: 8 with --fast else 1)")
     return p
 
 
@@ -101,14 +114,21 @@ def main(argv=None):
     from regnet_for_3d_grasping_tpu.utils.export import extract_grasp_sets
     from regnet_for_3d_grasping_tpu.eval.evaluator import eval_test
 
+    slab_cell = args.slab_cell if args.slab_cell >= 0.0 else \
+        (0.04 if args.fast else 0.0)
+    fps_groups = args.fps_groups if args.fps_groups >= 1 else \
+        (8 if args.fast else 1)
     cfg = infer_config(**{
         "region.center_num": args.center_num,
         "region.group_num_more": args.group_num_more,
         "region.num_points": args.all_points_num,
         "region.accept_margin": args.accept_margin,
         "region.refine_iters": args.num_refine,
+        "region.slab_cell": slab_cell,
+        "region.center_fps_groups": fps_groups,
+        "model.fps_groups": fps_groups,
     })
-    dtype = jnp.bfloat16 if args.bf16 else None
+    dtype = jnp.bfloat16 if (args.bf16 or args.fast) else None
     model = REGNet(cfg, dtype=dtype)
 
     rng = np.random.RandomState(args.seed)

@@ -48,22 +48,25 @@ def _bq_kernel(r2: float, n_valid: int, L: int, x_ref, c_ref, idx_out,
         first_acc[:] = jnp.full(first_acc.shape, -1, jnp.int32)
 
     for g in range(_G):
+        # transposed layout: points on SUBLANES, centroids on lanes —
+        # the min/sum reductions lower to elementwise trees instead of
+        # cross-lane shuffle cascades (~2x the kernel)
         d2 = None
         for c in range(3):
-            xg = x_ref[c, g * L:(g + 1) * L]
-            diff = c_ref[c, :][:, None] - xg[None, :]        # [TM, L]
+            xg = x_ref[g * L:(g + 1) * L, c:c + 1]           # [L, 1]
+            diff = xg - c_ref[c, :][None, :]                 # [L, TM]
             d2 = diff * diff if d2 is None else d2 + diff * diff
         col_base = (k * _G + g) * L
-        cols = lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        cols = lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         mask = (d2 < r2) & (col_base + cols < n_valid)
 
         # first in-radius point of this bucket (ascending index)
-        best_col = jnp.min(jnp.where(mask, cols, L), axis=1)  # [TM]
+        best_col = jnp.min(jnp.where(mask, cols, L), axis=0)  # [TM]
         bucket_valid = best_col < L
         win = col_base + jnp.minimum(best_col, L - 1)
 
         idx_out[g, :] = jnp.where(bucket_valid, win, -1)
-        cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
+        cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=0,
                                                 dtype=jnp.int32)
         first_acc[0, :] = jnp.where((first_acc[0, :] < 0) & bucket_valid,
                                     win, first_acc[0, :])
@@ -91,26 +94,26 @@ def _bq_kernel_v2(r2: float, n_valid: int, L: int, x_ref, c_ref, idx_out,
         first_acc[:] = jnp.full(first_acc.shape, -1, jnp.int32)
 
     thresh = (r2 - (jnp.square(c_ref[0, :]) + jnp.square(c_ref[1, :])
-                    + jnp.square(c_ref[2, :])))[:, None]       # [TM, 1]
+                    + jnp.square(c_ref[2, :])))[None, :]       # [1, TM]
     for g in range(_G):
-        xg = x_ref[:, g * L:(g + 1) * L]                       # [3, L]
-        xn = (jnp.square(xg[0, :]) + jnp.square(xg[1, :])
-              + jnp.square(xg[2, :]))                          # [L]
-        cx = lax.dot_general(c_ref[:], xg,
-                             (((0,), (0,)), ((), ())),
+        xg = x_ref[g * L:(g + 1) * L, :]                       # [L, 3]
+        xn = (jnp.square(xg[:, 0]) + jnp.square(xg[:, 1])
+              + jnp.square(xg[:, 2]))                          # [L]
+        cx = lax.dot_general(xg, c_ref[...],
+                             (((1,), (0,)), ((), ())),
                              precision=lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)  # [TM, L]
+                             preferred_element_type=jnp.float32)  # [L, TM]
         col_base = (k * _G + g) * L
-        cols = lax.broadcasted_iota(jnp.int32, cx.shape, 1)
-        mask = ((xn[None, :] - 2.0 * cx < thresh)
+        cols = lax.broadcasted_iota(jnp.int32, cx.shape, 0)
+        mask = ((xn[:, None] - 2.0 * cx < thresh)
                 & (col_base + cols < n_valid))
 
-        best_col = jnp.min(jnp.where(mask, cols, L), axis=1)   # [TM]
+        best_col = jnp.min(jnp.where(mask, cols, L), axis=0)   # [TM]
         bucket_valid = best_col < L
         win = col_base + jnp.minimum(best_col, L - 1)
 
         idx_out[g, :] = jnp.where(bucket_valid, win, -1)
-        cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=1,
+        cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(mask, axis=0,
                                                 dtype=jnp.int32)
         first_acc[0, :] = jnp.where((first_acc[0, :] < 0) & bucket_valid,
                                     win, first_acc[0, :])
@@ -139,10 +142,10 @@ def ball_query_pallas(xyz: jax.Array, centers: jax.Array, radius: float,
     L = max(128, -(-(-(-N // K)) // 128) * 128)
     npad = K * L - N
     mpad = (-M) % _TM
-    x = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)
+    x = xyz.astype(jnp.float32)                        # [B, N, 3]
     c = jnp.swapaxes(centers.astype(jnp.float32), 1, 2)
     if npad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, npad)), constant_values=1e10)
+        x = jnp.pad(x, ((0, 0), (0, npad), (0, 0)), constant_values=1e10)
     if mpad:
         c = jnp.pad(c, ((0, 0), (0, 0), (0, mpad)), constant_values=1e10)
     Mp = M + mpad
@@ -152,7 +155,7 @@ def ball_query_pallas(xyz: jax.Array, centers: jax.Array, radius: float,
         functools.partial(kernel, float(radius) ** 2, N, L),
         grid=(B, Mp // _TM, K // _G),
         in_specs=[
-            pl.BlockSpec((None, 3, _G * L), lambda b, mt, k: (b, 0, k),
+            pl.BlockSpec((None, _G * L, 3), lambda b, mt, k: (b, k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 3, _TM), lambda b, mt, k: (b, 0, mt),
                          memory_space=pltpu.VMEM),

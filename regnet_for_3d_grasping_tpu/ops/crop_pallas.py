@@ -36,8 +36,8 @@ _G = 8       # buckets per grid cell
 def _crop_kernel(box: tuple, n_valid: int, L: int, seed_ref,
                  x_ref, f_ref, c_ref, idx_out, cnt_out, first_out,
                  cnt_acc, first_acc):
-    """x_ref [3, G*L] cloud slab; f_ref [9, TM] row-major 3x3 frames
-    (columns = gripper axes); c_ref [3, TM] grasp bases."""
+    """x_ref [G*L, 3] cloud slab (points on sublanes); f_ref [9, TM]
+    row-major 3x3 frames (columns = gripper axes); c_ref [3, TM]."""
     xlo, xhi, yabs, zabs = box
     k = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -49,16 +49,20 @@ def _crop_kernel(box: tuple, n_valid: int, L: int, seed_ref,
 
     seed = seed_ref[0]
     mrow = pl.program_id(1) * _TM
-    rows = lax.broadcasted_iota(jnp.int32, (_TM, L), 0) + mrow
+    # transposed layout: points on SUBLANES, proposals on lanes — the
+    # max/argmax/sum reductions lower to elementwise trees instead of
+    # cross-lane shuffle cascades
+    rows = lax.broadcasted_iota(jnp.int32, (L, _TM), 1) + mrow
+    iota_l = lax.broadcasted_iota(jnp.int32, (L, _TM), 0)
 
     for g in range(_G):
         col_base = (k * _G + g) * L
-        rel = [x_ref[c, g * L:(g + 1) * L][None, :]
-               - c_ref[c, :][:, None] for c in range(3)]       # 3x [TM, L]
-        loc = [f_ref[0 + j, :][:, None] * rel[0]
-               + f_ref[3 + j, :][:, None] * rel[1]
-               + f_ref[6 + j, :][:, None] * rel[2] for j in range(3)]
-        cols = lax.broadcasted_iota(jnp.int32, (_TM, L), 1)
+        rel = [x_ref[g * L:(g + 1) * L, c:c + 1]
+               - c_ref[c, :][None, :] for c in range(3)]       # 3x [L, TM]
+        loc = [f_ref[0 + j, :][None, :] * rel[0]
+               + f_ref[3 + j, :][None, :] * rel[1]
+               + f_ref[6 + j, :][None, :] * rel[2] for j in range(3)]
+        cols = iota_l
         inside = ((loc[0] > xlo) & (loc[0] < xhi)
                   & (jnp.abs(loc[1]) < yabs) & (jnp.abs(loc[2]) < zabs)
                   & (col_base + cols < n_valid))
@@ -76,13 +80,16 @@ def _crop_kernel(box: tuple, n_valid: int, L: int, seed_ref,
         noise = h23.astype(jnp.float32) * jnp.float32(1.0 / 8388608.0)
         val = jnp.where(inside, noise + 1.0, 0.0)
 
-        best = jnp.max(val, axis=1)                            # [TM]
-        win_col = jnp.argmax(val, axis=1).astype(jnp.int32)
+        best = jnp.max(val, axis=0)                            # [TM]
+        # first-index argmax as max + min-where (same tie semantics)
+        win_col = jnp.min(jnp.where(val == best[None, :], cols,
+                                    jnp.int32(2**31 - 1)),
+                          axis=0).astype(jnp.int32)
         bucket_valid = best > 0.0
-        win = col_base + win_col
+        win = col_base + jnp.minimum(win_col, L - 1)
 
         idx_out[g, :] = jnp.where(bucket_valid, win, -1)
-        cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(inside, axis=1,
+        cnt_acc[0, :] = cnt_acc[0, :] + jnp.sum(inside, axis=0,
                                                 dtype=jnp.int32)
         first_acc[0, :] = jnp.where((first_acc[0, :] < 0) & bucket_valid,
                                     win, first_acc[0, :])
@@ -122,12 +129,12 @@ def closing_region_crop_pallas(
     npad = K * L - N
     mpad = (-M) % _TM
 
-    x = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)           # [B, 3, N]
+    x = xyz.astype(jnp.float32)                               # [B, N, 3]
     # frames row-major [B, 9, M]: entry (k*3+j) = F[k][j]
     f = jnp.swapaxes(frames.astype(jnp.float32).reshape(B, M, 9), 1, 2)
     c = jnp.swapaxes(centers.astype(jnp.float32), 1, 2)
     if npad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, npad)), constant_values=1e10)
+        x = jnp.pad(x, ((0, 0), (0, npad), (0, 0)), constant_values=1e10)
     if mpad:
         f = jnp.pad(f, ((0, 0), (0, 0), (0, mpad)))
         c = jnp.pad(c, ((0, 0), (0, 0), (0, mpad)),
@@ -141,7 +148,7 @@ def closing_region_crop_pallas(
         grid=(B, Mp // _TM, K // _G),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 3, _G * L), lambda b, mt, k: (b, 0, k),
+            pl.BlockSpec((None, _G * L, 3), lambda b, mt, k: (b, k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 9, _TM), lambda b, mt, k: (b, 0, mt),
                          memory_space=pltpu.VMEM),

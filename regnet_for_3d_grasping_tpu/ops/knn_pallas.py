@@ -25,22 +25,25 @@ _INF = 3e38   # plain float — a jnp scalar would be a captured constant
 
 
 def _extract_top3(d2, col_base):
-    """d2 [TM, L] -> (dists [TM, 3], ids [TM, 3]) of the 3 smallest."""
-    TM, L = d2.shape
-    cols = lax.broadcasted_iota(jnp.int32, (TM, L), 1)
+    """d2 [L, TM] (keys on SUBLANES, queries on lanes) -> the 3 smallest
+    per query as (dists [3, TM], ids [3, TM]).  Sublane-axis reductions
+    lower to elementwise trees, not cross-lane shuffle cascades — the
+    layout choice is worth ~2x on the whole kernel."""
+    L, TM = d2.shape
+    cols = lax.broadcasted_iota(jnp.int32, (L, TM), 0)
     outs_d, outs_i = [], []
     for _ in range(3):
-        m = jnp.min(d2, axis=1)
-        am = jnp.min(jnp.where(d2 == m[:, None], cols, L), axis=1)
+        m = jnp.min(d2, axis=0)
+        am = jnp.min(jnp.where(d2 == m[None, :], cols, L), axis=0)
         outs_d.append(m)
         outs_i.append(col_base + am)
-        d2 = jnp.where(cols == am[:, None], _INF, d2)
-    return (jnp.stack(outs_d, axis=1), jnp.stack(outs_i, axis=1))
+        d2 = jnp.where(cols == am[None, :], _INF, d2)
+    return (jnp.stack(outs_d, axis=0), jnp.stack(outs_i, axis=0))
 
 
 def _knn_kernel(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
                 best_d, best_i):
-    """q [3, TM], k [3, L] blocks; scratches best_d/best_i [TM, 4]."""
+    """q [3, TM], k [L, 3] blocks; scratches best_d/best_i [3, TM]."""
     s = pl.program_id(2)
     n_s = pl.num_programs(2)
 
@@ -51,34 +54,32 @@ def _knn_kernel(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
 
     d2 = None
     for c in range(3):
-        diff = q_ref[c, :][:, None] - k_ref[c, :][None, :]
+        diff = k_ref[:, c:c + 1] - q_ref[c, :][None, :]
         d2 = diff * diff if d2 is None else d2 + diff * diff
     # mask out key-axis padding (global id >= n_valid_keys)
     col_base = s * _L
-    cols = col_base + lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    cols = col_base + lax.broadcasted_iota(jnp.int32, d2.shape, 0)
     d2 = jnp.where(cols < n_valid_keys, d2, _INF)
 
-    cd, ci = _extract_top3(d2, col_base)              # [TM, 3]
-    # merge with the running top-3: 6 candidates per row -> new top-3
-    alld = jnp.concatenate([best_d[:, :3], cd], axis=1)   # [TM, 6]
-    alli = jnp.concatenate([best_i[:, :3], ci], axis=1)
-    slot = lax.broadcasted_iota(jnp.int32, alld.shape, 1)
+    cd, ci = _extract_top3(d2, col_base)              # [3, TM]
+    # merge with the running top-3: 6 candidates per query -> new top-3
+    alld = jnp.concatenate([best_d[:3], cd], axis=0)      # [6, TM]
+    alli = jnp.concatenate([best_i[:3], ci], axis=0)
+    slot = lax.broadcasted_iota(jnp.int32, alld.shape, 0)
     nd, ni = [], []
     for _ in range(3):
-        m = jnp.min(alld, axis=1)
-        am = jnp.min(jnp.where(alld == m[:, None], slot, 6), axis=1)
+        m = jnp.min(alld, axis=0)
+        am = jnp.min(jnp.where(alld == m[None, :], slot, 6), axis=0)
         nd.append(m)
-        ni.append(jnp.sum(jnp.where(slot == am[:, None], alli, 0), axis=1))
-        alld = jnp.where(slot == am[:, None], _INF, alld)
-    best_d[:, :3] = jnp.stack(nd, axis=1)
-    best_i[:, :3] = jnp.stack(ni, axis=1).astype(jnp.int32)
+        ni.append(jnp.sum(jnp.where(slot == am[None, :], alli, 0), axis=0))
+        alld = jnp.where(slot == am[None, :], _INF, alld)
+    best_d[:, :] = jnp.stack(nd, axis=0)
+    best_i[:, :] = jnp.stack(ni, axis=0).astype(jnp.int32)
 
     @pl.when(s == n_s - 1)
     def _():
-        d_out[:, :3] = best_d[:, :3]
-        d_out[:, 3] = jnp.zeros((d_out.shape[0],), jnp.float32)
-        i_out[:, :3] = best_i[:, :3]
-        i_out[:, 3] = jnp.zeros((i_out.shape[0],), jnp.int32)
+        d_out[...] = best_d[...]
+        i_out[...] = best_i[...]
 
 
 def _knn_kernel_v2(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
@@ -107,39 +108,37 @@ def _knn_kernel_v2(n_valid_keys: int, q_ref, k_ref, d_out, i_out,
         best_d[:] = jnp.full(best_d.shape, _INF, jnp.float32)
         best_i[:] = jnp.zeros(best_i.shape, jnp.int32)
 
-    kn = (jnp.square(k_ref[0, :]) + jnp.square(k_ref[1, :])
-          + jnp.square(k_ref[2, :]))                       # [L]
-    qk = lax.dot_general(q_ref[:], k_ref[:],
-                         (((0,), (0,)), ((), ())),
+    kn = (jnp.square(k_ref[:, 0]) + jnp.square(k_ref[:, 1])
+          + jnp.square(k_ref[:, 2]))                       # [L]
+    qk = lax.dot_general(k_ref[...], q_ref[...],
+                         (((1,), (0,)), ((), ())),
                          precision=lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)  # [TM, L]
-    d2 = kn[None, :] - 2.0 * qk
+                         preferred_element_type=jnp.float32)  # [L, TM]
+    d2 = kn[:, None] - 2.0 * qk
     col_base = s * _L
-    cols = col_base + lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    cols = col_base + lax.broadcasted_iota(jnp.int32, d2.shape, 0)
     d2 = jnp.where(cols < n_valid_keys, d2, _INF)
 
     cd, ci = _extract_top3(d2, col_base)
-    alld = jnp.concatenate([best_d[:, :3], cd], axis=1)
-    alli = jnp.concatenate([best_i[:, :3], ci], axis=1)
-    slot = lax.broadcasted_iota(jnp.int32, alld.shape, 1)
+    alld = jnp.concatenate([best_d[:3], cd], axis=0)
+    alli = jnp.concatenate([best_i[:3], ci], axis=0)
+    slot = lax.broadcasted_iota(jnp.int32, alld.shape, 0)
     nd, ni = [], []
     for _ in range(3):
-        m = jnp.min(alld, axis=1)
-        am = jnp.min(jnp.where(alld == m[:, None], slot, 6), axis=1)
+        m = jnp.min(alld, axis=0)
+        am = jnp.min(jnp.where(alld == m[None, :], slot, 6), axis=0)
         nd.append(m)
-        ni.append(jnp.sum(jnp.where(slot == am[:, None], alli, 0), axis=1))
-        alld = jnp.where(slot == am[:, None], _INF, alld)
-    best_d[:, :3] = jnp.stack(nd, axis=1)
-    best_i[:, :3] = jnp.stack(ni, axis=1).astype(jnp.int32)
+        ni.append(jnp.sum(jnp.where(slot == am[None, :], alli, 0), axis=0))
+        alld = jnp.where(slot == am[None, :], _INF, alld)
+    best_d[:, :] = jnp.stack(nd, axis=0)
+    best_i[:, :] = jnp.stack(ni, axis=0).astype(jnp.int32)
 
     @pl.when(s == n_s - 1)
     def _():
         qn = (jnp.square(q_ref[0, :]) + jnp.square(q_ref[1, :])
               + jnp.square(q_ref[2, :]))                   # [TM]
-        d_out[:, :3] = best_d[:, :3] + qn[:, None]
-        d_out[:, 3] = jnp.zeros((d_out.shape[0],), jnp.float32)
-        i_out[:, :3] = best_i[:, :3]
-        i_out[:, 3] = jnp.zeros((i_out.shape[0],), jnp.int32)
+        d_out[...] = best_d[...] + qn[None, :]
+        i_out[...] = best_i[...]
 
 
 @functools.partial(jax.jit, static_argnames=("version", "interpret"))
@@ -159,11 +158,11 @@ def three_nn_pallas(query: jax.Array, key: jax.Array,
     qpad = (-N1) % _TM
     kpad = (-N2) % _L
     q = jnp.swapaxes(query.astype(jnp.float32), 1, 2)   # [B, 3, N1]
-    k = jnp.swapaxes(key.astype(jnp.float32), 1, 2)
+    k = key.astype(jnp.float32)                          # [B, N2, 3]
     if qpad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, qpad)))
     if kpad:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, kpad)), constant_values=1e10)
+        k = jnp.pad(k, ((0, 0), (0, kpad), (0, 0)), constant_values=1e10)
     N1p, N2p = N1 + qpad, N2 + kpad
 
     kernel = _knn_kernel if version == 1 else _knn_kernel_v2
@@ -173,21 +172,22 @@ def three_nn_pallas(query: jax.Array, key: jax.Array,
         in_specs=[
             pl.BlockSpec((None, 3, _TM), lambda b, qt, s: (b, 0, qt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 3, _L), lambda b, qt, s: (b, 0, s),
+            pl.BlockSpec((None, _L, 3), lambda b, qt, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, _TM, 4), lambda b, qt, s: (b, qt, 0),
+            pl.BlockSpec((None, 3, _TM), lambda b, qt, s: (b, 0, qt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _TM, 4), lambda b, qt, s: (b, qt, 0),
+            pl.BlockSpec((None, 3, _TM), lambda b, qt, s: (b, 0, qt),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N1p, 4), jnp.float32),
-            jax.ShapeDtypeStruct((B, N1p, 4), jnp.int32),
+            jax.ShapeDtypeStruct((B, 3, N1p), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, N1p), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((_TM, 4), jnp.float32),
-                        pltpu.VMEM((_TM, 4), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((3, _TM), jnp.float32),
+                        pltpu.VMEM((3, _TM), jnp.int32)],
         interpret=interpret,
     )(q, k)
-    return i_out[:, :N1, :3], d_out[:, :N1, :3]
+    return (jnp.swapaxes(i_out, 1, 2)[:, :N1],
+            jnp.swapaxes(d_out, 1, 2)[:, :N1])
