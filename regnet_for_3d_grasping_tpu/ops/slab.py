@@ -120,8 +120,15 @@ def slab_bounds(cell_row: jax.Array, qx: jax.Array, bound: float,
     B, Mp = qx.shape
     T = Mp // _TM
     qt = qx.reshape(B, T, _TM)
-    lo = qt.min(-1) - bound
-    hi = qt.max(-1) + bound
+    # pad queries hold huge x — excluding them keeps a mixed real/pad
+    # tile's scan range tight instead of covering the whole cloud (their
+    # outputs are sliced off by the caller); an all-pad tile degenerates
+    # to a single-block scan
+    real = qt < 1e9
+    lo = jnp.min(jnp.where(real, qt, jnp.inf), -1) - bound
+    hi = jnp.max(jnp.where(real, qt, -jnp.inf), -1) + bound
+    lo = jnp.where(jnp.any(real, -1), lo, 1e9)
+    hi = jnp.where(jnp.any(real, -1), hi, 1e9)
     lo_c = jnp.clip(jnp.floor(lo / cell), -1e6, 1e6).astype(jnp.int32)
     hi_c = jnp.clip(jnp.floor(hi / cell), -1e6, 1e6).astype(jnp.int32)
     srow = jax.vmap(
@@ -170,24 +177,38 @@ def _emit_rows(idx_ref, row_list, k, off, in_span):
         idx_ref[pl.ds((k - off) * rps, rps), :] = blk
 
 
-def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
-                       win: int, spw: int, distinct: bool,
-                       ss_ref, seed_ref, x_ref, c_ref,
-                       idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
+def _scan_step(ss_ref, span_blocks: int, bounded: bool):
+    """Shared grid-step decode for the selection kernels.
+
+    Full grid (bounded=False): grid dim 2 walks every scan block; steps
+    outside [start, stop) skip compute.  Bounded grid (bounded=True):
+    grid dim 2 has only `grid_span` steps and step k means block
+    start+k — the caller guarantees (via the lax.cond dispatch in
+    group_slab/crop_slab) that every tile's span fits, so the two modes
+    are bit-identical where both run."""
     b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    n_k = pl.num_programs(2)
     start = ss_ref[b, mt, 0]
     stop = ss_ref[b, mt, 1]
     off = ss_ref[b, mt, 2]
+    kb = start + k if bounded else k
+    in_scan = kb < stop if bounded else (kb >= start) & (kb < stop)
+    in_span = (kb >= off) & (kb < off + span_blocks)
+    return k, kb, in_scan, in_span, off
+
+
+def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
+                       win: int, spw: int, distinct: bool, bounded: bool,
+                       ss_ref, seed_ref, x_ref, c_ref,
+                       idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
+    b, mt = pl.program_id(0), pl.program_id(1)
+    n_k = pl.num_programs(2)
+    k, kb, in_scan, in_span, off = _scan_step(ss_ref, span_blocks, bounded)
 
     @pl.when(k == 0)
     def _():
         idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
         cnt_acc[:] = jnp.zeros(cnt_acc.shape, jnp.int32)
         first_acc[:] = jnp.full(first_acc.shape, -1, jnp.int32)
-
-    in_scan = (k >= start) & (k < stop)
-    in_span = (k >= off) & (k < off + span_blocks)
 
     @pl.when(in_scan)
     def _():
@@ -196,7 +217,7 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
         # sublane axis as an elementwise tree instead of a cross-lane
         # shuffle cascade (~8x cheaper; measured 2x+ end-to-end)
         seed = seed_ref[0]
-        col0 = k * _SCAN
+        col0 = kb * _SCAN
         mrow = mt * _TM
         rows = lax.broadcasted_iota(jnp.int32, (win, _TM), 1) + mrow
         iota_w = lax.broadcasted_iota(jnp.int32, (win, _TM), 0)
@@ -240,7 +261,7 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
                 first_acc[0, :] = jnp.where(
                     (first_acc[0, :] < 0) & hit & in_span, wrow,
                     first_acc[0, :])
-        _emit_rows(idx_ref, row_list, k, off, in_span)
+        _emit_rows(idx_ref, row_list, kb, off, in_span)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -249,16 +270,15 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
 
 
 def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
+                      bounded: bool,
                       ss_ref, seed_ref, x_ref, f_ref, c_ref,
                       idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
     """f_ref [9, TM] row-major 3x3 frames (columns = gripper axes);
     c_ref [3, TM] grasp bases — same contract as ops/crop_pallas.py."""
     xlo, xhi, yabs, zabs = box
-    b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, mt = pl.program_id(0), pl.program_id(1)
     n_k = pl.num_programs(2)
-    start = ss_ref[b, mt, 0]
-    stop = ss_ref[b, mt, 1]
-    off = ss_ref[b, mt, 2]
+    k, kb, in_scan, in_span, off = _scan_step(ss_ref, span_blocks, bounded)
 
     @pl.when(k == 0)
     def _():
@@ -266,15 +286,12 @@ def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
         cnt_acc[:] = jnp.zeros(cnt_acc.shape, jnp.int32)
         first_acc[:] = jnp.full(first_acc.shape, -1, jnp.int32)
 
-    in_scan = (k >= start) & (k < stop)
-    in_span = (k >= off) & (k < off + span_blocks)
-
     @pl.when(in_scan)
     def _():
         # transposed layout: points on sublanes, queries on lanes
         # (see _group_slab_kernel)
         seed = seed_ref[0]
-        col0 = k * _SCAN
+        col0 = kb * _SCAN
         mrow = mt * _TM
         rows = lax.broadcasted_iota(jnp.int32, (_WIN_CROP, _TM), 1) + mrow
         iota_w = lax.broadcasted_iota(jnp.int32, (_WIN_CROP, _TM), 0)
@@ -304,7 +321,7 @@ def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
             row_list.append(jnp.where(ok, win, -1))
             first_acc[0, :] = jnp.where(
                 (first_acc[0, :] < 0) & ok & in_span, win, first_acc[0, :])
-        _emit_rows(idx_ref, row_list, k, off, in_span)
+        _emit_rows(idx_ref, row_list, kb, off, in_span)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -312,20 +329,29 @@ def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
         sel_ref[0, :] = first_acc[0, :]
 
 
-def _slab_select_call(kernel, B, Mp, K, nblk, interpret,
+def _slab_select_call(kernel, B, Mp, K, grid_k, bounded, interpret,
                       ss, seed, *tensors):
     """Shared pallas_call plumbing for the two selection kernels.
 
     tensors[0] is the [B, nblk*_SCAN, 3] sorted cloud — points on the
     SUBLANE axis (scanned at the prefetched slab block index); the rest
-    are [B, rows, Mp] per-query tensors tiled along the query dim."""
+    are [B, rows, Mp] per-query tensors tiled along the query dim.
+    grid_k = scan blocks walked per tile: nblk for the full grid, the
+    static span cap for the bounded grid (kernel step k -> block
+    start+k)."""
     T = Mp // _TM
-    grid = (B, T, nblk)
+    grid = (B, T, grid_k)
 
-    def x_map(b, mt, k, ss_ref):
-        lo = ss_ref[b, mt, 0]
-        hi = ss_ref[b, mt, 1] - 1
-        return (b, jnp.clip(k, lo, hi), 0)
+    if bounded:
+        def x_map(b, mt, k, ss_ref):
+            lo = ss_ref[b, mt, 0]
+            hi = ss_ref[b, mt, 1] - 1
+            return (b, jnp.minimum(lo + k, hi), 0)
+    else:
+        def x_map(b, mt, k, ss_ref):
+            lo = ss_ref[b, mt, 0]
+            hi = ss_ref[b, mt, 1] - 1
+            return (b, jnp.clip(k, lo, hi), 0)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((None, _SCAN, 3), x_map,
@@ -397,13 +423,34 @@ def _pad_cols(a: jax.Array, np_: int, value: float) -> jax.Array:
     return a
 
 
+def _dispatch_select(make_kernel, B, Mp, K, nblk, grid_span, interpret,
+                     ss, seed, *tensors):
+    """Run the bounded grid when every tile's scan span fits the static
+    cap (the overwhelmingly common case — tiles touch 2-4 of ~13 blocks,
+    but the full grid still pays ~1us per skipped step), else fall back
+    to the full grid.  Both branches scan the same blocks in the same
+    order, so outputs are bit-identical."""
+    def call(bounded, grid_k):
+        kern = make_kernel(bounded)
+        return lambda: _slab_select_call(kern, B, Mp, K, grid_k, bounded,
+                                         interpret, ss, seed, *tensors)
+
+    cap = min(grid_span, nblk)
+    if cap >= nblk:
+        return call(False, nblk)()
+    span_max = jnp.max(ss[..., 1] - ss[..., 0])
+    return lax.cond(span_max <= cap, call(True, cap), call(False, nblk))
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "group_num",
                                              "cell", "win", "spw",
-                                             "distinct", "interpret"))
+                                             "distinct", "grid_span",
+                                             "interpret"))
 def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
                radius: float, group_num: int, cell: float,
                win: int = _WIN_GROUP, spw: int = _SPW_GROUP,
-               distinct: bool = False, interpret: bool = False):
+               distinct: bool = False, grid_span: int = 6,
+               interpret: bool = False):
     """Slab radius grouping over a sorted cloud.
 
     Args:
@@ -439,10 +486,12 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
     ss = slab_bounds(sc.cell_row, c[:, 0, :], radius, cell, nblk, span_b)
     seed = jnp.asarray(seed, jnp.uint32).reshape(1)
 
-    kernel = functools.partial(_group_slab_kernel, float(radius) ** 2, N,
-                               span_b, K, win, spw, distinct)
-    idx, cnt, first = _slab_select_call(kernel, B, Mp, K, nblk,
-                                        interpret, ss, seed, x, c)
+    def make_kernel(bounded):
+        return functools.partial(_group_slab_kernel, float(radius) ** 2,
+                                 N, span_b, K, win, spw, distinct, bounded)
+    idx, cnt, first = _dispatch_select(make_kernel, B, Mp, K, nblk,
+                                       grid_span, interpret, ss, seed,
+                                       x, c)
     idx = jnp.swapaxes(idx, 1, 2)[:, :M]
     cnt = cnt[:, 0, :M]
     first = first[:, 0, :M]
@@ -453,10 +502,11 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("box", "gripper_num",
-                                             "cell", "interpret"))
+                                             "cell", "grid_span",
+                                             "interpret"))
 def crop_slab(sc: SortedCloud, frame: jax.Array, center: jax.Array,
               seed: jax.Array, box: tuple, gripper_num: int, cell: float,
-              interpret: bool = False):
+              grid_span: int = 6, interpret: bool = False):
     """Slab closing-region crop over a sorted cloud.
 
     frame [B, M, 3, 3] (columns = gripper axes), center [B, M, 3]; box =
@@ -485,10 +535,13 @@ def crop_slab(sc: SortedCloud, frame: jax.Array, center: jax.Array,
     ss = slab_bounds(sc.cell_row, c[:, 0, :], bound, cell, nblk, span_b)
     seed = jnp.asarray(seed, jnp.uint32).reshape(1)
 
-    kernel = functools.partial(_crop_slab_kernel,
-                               tuple(float(v) for v in box), N, span_b, K)
-    idx, cnt, first = _slab_select_call(kernel, B, Mp, K, nblk,
-                                        interpret, ss, seed, x, f, c)
+    def make_kernel(bounded):
+        return functools.partial(_crop_slab_kernel,
+                                 tuple(float(v) for v in box), N, span_b,
+                                 K, bounded)
+    idx, cnt, first = _dispatch_select(make_kernel, B, Mp, K, nblk,
+                                       grid_span, interpret, ss, seed,
+                                       x, f, c)
     idx = jnp.swapaxes(idx, 1, 2)[:, :M]
     cnt = cnt[:, 0, :M]
     first = first[:, 0, :M]
@@ -538,23 +591,27 @@ def _three_nn_slab_kernel(n_valid: int, ss_ref, xk_ref, q_ref,
                           idx_ref, d_ref, d_acc, i_acc):
     """Running 3 smallest squared distances per query over slab key
     blocks.  d_acc/i_acc [3, TM] scratch persists across the k grid dim
-    (innermost, sequential)."""
+    (innermost, sequential).  Bounded grid: step k means key block
+    start+k — the wrapper clamps every tile's [start, stop) span to the
+    grid size (centered), and the exactness certificate + full-scan
+    fallback absorb any key the clamp excluded."""
     b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_k = pl.num_programs(2)
     start = ss_ref[b, mt, 0]
     stop = ss_ref[b, mt, 1]
+    kb = start + k
 
     @pl.when(k == 0)
     def _():
         d_acc[...] = jnp.full(d_acc.shape, _BIG, jnp.float32)
         i_acc[...] = jnp.zeros(i_acc.shape, jnp.int32)
 
-    @pl.when((k >= start) & (k < stop))
+    @pl.when(kb < stop)
     def _():
         # transposed layout: keys on sublanes, queries on lanes — the
         # six reductions per block run over the sublane axis as
         # elementwise trees, not cross-lane shuffles
-        col0 = k * _SCAN_K
+        col0 = kb * _SCAN_K
         d2 = None
         for c in range(3):
             diff = xk_ref[:, c:c + 1] - q_ref[c, :][None, :]
@@ -586,9 +643,10 @@ def _three_nn_slab_kernel(n_valid: int, ss_ref, xk_ref, q_ref,
         d_ref[...] = d_acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("bound", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bound", "grid_span",
+                                             "interpret"))
 def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
-                  interpret: bool = False
+                  grid_span: int = 3, interpret: bool = False
                   ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """3 nearest keys per query, scanning only keys with |kx - qx| within
     each query tile's x-range + `bound`.
@@ -617,24 +675,37 @@ def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
 
     kx = key[..., 0].astype(jnp.float32)                     # [B, NK]
     qt = q[:, 0, :].reshape(B, T, _TM_K)
-    lo = qt.min(-1) - bound
-    hi = qt.max(-1) + bound
+    realq = qt < 1e9          # pad queries would inflate the tile range
+    lo = jnp.min(jnp.where(realq, qt, jnp.inf), -1) - bound
+    hi = jnp.max(jnp.where(realq, qt, -jnp.inf), -1) + bound
+    anyq = jnp.any(realq, -1)
+    lo = jnp.where(anyq, lo, 1e9)
+    hi = jnp.where(anyq, hi, 1e9)
     srow = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left")
                     )(kx, lo)
     erow = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right")
                     )(kx, hi)
     start = jnp.clip(srow // _SCAN_K, 0, nkb - 1).astype(jnp.int32)
     stop = jnp.clip(-(-erow // _SCAN_K), start + 1, nkb).astype(jnp.int32)
+    # bounded grid: clamp each tile's span to `cap` blocks, centered on
+    # the slab — any excluded key shows up in the certificate below and
+    # triggers the caller's exact full-scan fallback
+    cap = min(grid_span, nkb)
+    if cap < nkb:
+        mid = ((srow + erow) // (2 * _SCAN_K)).astype(jnp.int32)
+        s_ctr = jnp.clip(mid - cap // 2, 0, nkb - cap)
+        start = jnp.where(stop - start > cap, s_ctr, start)
+        stop = jnp.minimum(stop, start + cap)
     ss = jnp.stack([start, stop], axis=-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, T, nkb),
+        grid=(B, T, cap),
         in_specs=[
             pl.BlockSpec((None, _SCAN_K, 3),
                          lambda b, mt, k, ss_ref: (
-                             b, jnp.clip(k, ss_ref[b, mt, 0],
-                                         ss_ref[b, mt, 1] - 1), 0),
+                             b, jnp.minimum(ss_ref[b, mt, 0] + k,
+                                            ss_ref[b, mt, 1] - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 3, _TM_K),
                          lambda b, mt, k, ss_ref: (b, 0, mt),

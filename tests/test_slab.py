@@ -110,6 +110,51 @@ class TestGroupSlab:
                     v = int(idx[b, m, j])
                     assert (lo <= v < lo + 128) or v in own
 
+    def test_bounded_grid_bit_identical(self):
+        """The bounded scan grid (step k -> block start+k) must match the
+        full grid bit-for-bit when every tile's span fits, and the
+        lax.cond must fall back to the full grid (still exact) when a
+        wide tile blows the cap."""
+        pts = _cloud(B=1, N=18432, seed=9)      # nblk=9 > default cap 6
+        rng = np.random.RandomState(17)
+        centers = _sorted_centers(pts, 384, rng)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(4), jnp.asarray(pts),
+                                CELL)
+        args = (sc, jnp.asarray(centers), jnp.uint32(5), 0.03, 256, CELL)
+        bounded = slab.group_slab(*args, grid_span=6, interpret=True)
+        full = slab.group_slab(*args, grid_span=99, interpret=True)
+        for a, b in zip(bounded, full):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # one tile spanning the whole table forces span > cap: the cond
+        # must take the full grid and counts stay exact
+        wide = centers.copy()
+        wide[0, :128] = np.linspace(-0.34, 0.34, 128)[:, None] * [1, 0, 0]
+        idx, cnt, sel, off = slab.group_slab(
+            sc, jnp.asarray(wide), jnp.uint32(5), 0.03, 256, CELL,
+            grid_span=2, interpret=True)
+        d2 = ((wide[:, :, None] - np.asarray(sc.xyz)[:, None]) ** 2
+              ).sum(-1)
+        np.testing.assert_array_equal(np.asarray(cnt),
+                                      (d2 <= 0.03 ** 2).sum(-1))
+
+    def test_pad_tile_counts_exact(self):
+        """M not a multiple of 128 puts pad queries (x=1e10) into the
+        last tile; its scan bounds must ignore them so the REAL queries
+        in that tile still get exact counts."""
+        pts = _cloud(B=1, N=18432, seed=10)
+        rng = np.random.RandomState(19)
+        centers = _sorted_centers(pts, 200, rng)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(6), jnp.asarray(pts),
+                                CELL)
+        idx, cnt, sel, off = slab.group_slab(
+            sc, jnp.asarray(centers), jnp.uint32(3), 0.03, 256, CELL,
+            interpret=True)
+        d2 = ((centers[:, :, None] - np.asarray(sc.xyz)[:, None]) ** 2
+              ).sum(-1)
+        np.testing.assert_array_equal(np.asarray(cnt),
+                                      (d2 <= 0.03 ** 2).sum(-1))
+
     def test_empty_rows(self):
         pts = _cloud(B=1)
         _, sc = slab.sort_cloud(jax.random.PRNGKey(3), jnp.asarray(pts), CELL)
@@ -279,6 +324,32 @@ class TestThreeNNSlab:
                 same = (np.sort(got_i, 1) == np.sort(ref_i, 1)).all(1)
                 margin_ok = got_d[:, 2] <= 0.08 ** 2  # conservative bound
                 assert same[margin_ok].all()
+
+    def test_grid_span_clamp_is_certified(self):
+        """A too-small grid_span clamps tiles' scan windows; every query
+        whose true 3-NN was excluded must be flagged by the certificate
+        (proven=False), never silently wrong when proven=True."""
+        pts = _cloud(B=2, N=4096, seed=6)
+        rng = np.random.RandomState(7)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(2), jnp.asarray(pts),
+                                CELL)
+        NK = 4096                                 # 4 key blocks
+        keys = np.stack([pts[b][rng.choice(pts.shape[1], NK, False)]
+                         for b in range(pts.shape[0])])
+        keys = np.stack([k[np.argsort(k[:, 0])] for k in keys])
+        ref_i, ref_d, ref_p = slab.three_nn_slab(
+            sc.xyz, jnp.asarray(keys), bound=0.08, grid_span=99,
+            interpret=True)
+        got_i, got_d, got_p = slab.three_nn_slab(
+            sc.xyz, jnp.asarray(keys), bound=0.08, grid_span=1,
+            interpret=True)
+        for b in range(2):
+            if bool(np.asarray(got_p)[b]):
+                np.testing.assert_allclose(np.asarray(got_d)[b],
+                                           np.asarray(ref_d)[b], atol=1e-9)
+        # with the whole table squeezed into 1 of 4 blocks, at least one
+        # batch must be unproven (sanity that the clamp actually bit)
+        assert not bool(np.asarray(got_p).all())
 
     def test_certificate_triggers_on_sparse_keys(self):
         """Keys clustered far from some queries -> unproven, and the FP
