@@ -113,6 +113,61 @@ def check_grasps_view(points: jax.Array, grasps: jax.Array,
     return ok & above_table
 
 
+def view_check_funnel(points: jax.Array, grasps: jax.Array,
+                      table_height: float, depth,
+                      gripper: GripperConfig, cfg: EvalConfig,
+                      table_sign: float = +1.0,
+                      chunk: int = 256) -> dict:
+    """Per-grasp reason masks for the view collision filter — the
+    survival funnel (above-table -> enough close-plane points -> no back
+    collision -> no finger collision), matching the reference's early
+    returns in finger_hand_view (evaluation_data_generator.py:420-483)
+    but exposing WHICH check rejected each grasp.
+
+    Returns dict of [G] bool arrays: above_table, close_points, back_ok,
+    finger_ok, close_region_ok, survive (test-path conjunction — without
+    close_region_ok, as EvalDataTest has no such check)."""
+    frames, centers = grasps_to_frames(grasps)
+    G = grasps.shape[0]
+    depth = jnp.broadcast_to(jnp.asarray(depth, jnp.float32), (G,))
+
+    tip_z = centers[:, 2] + frames[:, 2, 0] * depth
+    above_table = tip_z >= table_height + table_sign * cfg.table_offset
+
+    pad = (-G) % chunk
+    if pad:
+        frames = jnp.concatenate(
+            [frames, jnp.tile(jnp.eye(3)[None], (pad, 1, 1))])
+        centers = jnp.concatenate([centers, jnp.zeros((pad, 3))])
+        depth = jnp.concatenate([depth, jnp.ones((pad,))])
+    n_chunks = frames.shape[0] // chunk
+
+    def per_chunk(args):
+        fr, ce, dp = args
+        local = _local_coords(points, fr, ce)
+        close_plane, back, finger, close_region = _region_masks(
+            local, dp[:, None], gripper, cfg)
+        return (jnp.sum(close_plane, axis=-1) >= cfg.num_points_threshold,
+                jnp.sum(back, axis=-1) <= cfg.back_collision_threshold,
+                jnp.sum(finger, axis=-1) <= cfg.finger_collision_threshold,
+                jnp.sum(close_region, axis=-1)
+                >= cfg.close_region_min_points)
+
+    cp, bk, fg, cr = lax.map(per_chunk, (
+        frames.reshape(n_chunks, chunk, 3, 3),
+        centers.reshape(n_chunks, chunk, 3),
+        depth.reshape(n_chunks, chunk)))
+    cp, bk, fg, cr = (m.reshape(-1)[:G] for m in (cp, bk, fg, cr))
+    return {
+        "above_table": above_table,
+        "close_points": cp,
+        "back_ok": bk,
+        "finger_ok": fg,
+        "close_region_ok": cr,
+        "survive": above_table & cp & bk & fg,
+    }
+
+
 def check_grasps_scene(points: jax.Array, normals: jax.Array,
                        grasps: jax.Array, depth, gripper: GripperConfig,
                        cfg: EvalConfig,

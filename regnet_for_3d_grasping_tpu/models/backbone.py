@@ -234,6 +234,13 @@ class FeaturePropagation(nn.Module):
         idx_s, d2_s, proven = _slab.three_nn_slab(
             dense_xyz, key_sorted, bound=self.nn_bound,
             interpret=_region.SLAB_INTERPRET)
+        # observability: count of batches whose certificate failed (the
+        # lax.cond below then pays the full scan) — readable via
+        # mutable=["intermediates"]; a persistent nonzero count means
+        # `nn_bound` (ModelConfig.fp3_nn_bound) is mis-scaled for the
+        # cloud's metric units and the slab win is silently lost
+        self.sow("intermediates", "fp3_slab_fallback",
+                 jnp.sum(jnp.logical_not(proven)).astype(jnp.int32))
         idx, d2 = lax.cond(
             jnp.all(proven),
             lambda: (idx_s, d2_s),
@@ -310,6 +317,7 @@ class PointNet2Seg(nn.Module):
                 # the last FP's dense level is the (sorted) input cloud —
                 # the only level both big enough to matter and x-ordered
                 use_slab=use_slab and last,
+                nn_bound=cfg.fp3_nn_bound,
                 name=f"fp{i}")(dense_xyz, sparse_xyz, dense_feat,
                                sparse_feat, train)
             sparse_xyz = dense_xyz

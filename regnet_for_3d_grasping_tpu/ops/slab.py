@@ -177,34 +177,80 @@ def _emit_rows(idx_ref, row_list, k, off, in_span):
         idx_ref[pl.ds((k - off) * rps, rps), :] = blk
 
 
-def _scan_step(ss_ref, span_blocks: int, bounded: bool):
+def _scan_step(span_blocks: int, mode: str, T: int, ss_ref, meta_ref):
     """Shared grid-step decode for the selection kernels.
 
-    Full grid (bounded=False): grid dim 2 walks every scan block; steps
-    outside [start, stop) skip compute.  Bounded grid (bounded=True):
-    grid dim 2 has only `grid_span` steps and step k means block
-    start+k — the caller guarantees (via the lax.cond dispatch in
-    group_slab/crop_slab) that every tile's span fits, so the two modes
-    are bit-identical where both run."""
-    b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    start = ss_ref[b, mt, 0]
-    stop = ss_ref[b, mt, 1]
+    Full grid (mode="full", (B, T, nblk)): grid dim 2 walks every scan
+    block; steps outside [start, stop) skip compute but still pay grid
+    latency.  Flat grid (mode="flat", (G,)): ONE grid step per live
+    (tile, scan-block) pair — `meta_ref` [G, 5] (bt, blk, first, last,
+    live), built by `_flat_steps` from the same [start, stop) spans, so
+    the two modes scan identical blocks in identical order and are
+    bit-identical.  Dead padding steps (live=0) refetch the previous
+    block and skip everything."""
+    if mode == "flat":
+        g = pl.program_id(0)
+        bt = meta_ref[g, 0]
+        b = bt // T
+        mt = bt - b * T
+        kb = meta_ref[g, 1]
+        first = meta_ref[g, 2] == 1
+        last = meta_ref[g, 3] == 1
+        in_scan = meta_ref[g, 4] == 1
+    else:
+        b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        kb = k
+        in_scan = (kb >= ss_ref[b, mt, 0]) & (kb < ss_ref[b, mt, 1])
+        first = k == 0
+        last = k == pl.num_programs(2) - 1
     off = ss_ref[b, mt, 2]
-    kb = start + k if bounded else k
-    in_scan = kb < stop if bounded else (kb >= start) & (kb < stop)
     in_span = (kb >= off) & (kb < off + span_blocks)
-    return k, kb, in_scan, in_span, off
+    return b, mt, kb, in_scan, in_span, off, first, last
+
+
+def _flat_steps(ss: jax.Array, G: int) -> tuple[jax.Array, jax.Array]:
+    """Flatten per-tile scan spans into a [G, 5] step table.
+
+    Row g = (bt, blk, first, last, live): grid step g scans block `blk`
+    for flat tile `bt` (= b*T + mt).  Live steps enumerate every tile's
+    [start, stop) span in order; padding steps (g >= total) repeat the
+    final block (same BlockSpec index -> no refetch) with live=0.
+    Returns (meta, total); the caller dispatches the full grid instead
+    when total > G."""
+    B, T, _ = ss.shape
+    start = ss[..., 0].reshape(-1).astype(jnp.int32)       # [B*T]
+    stop = ss[..., 1].reshape(-1).astype(jnp.int32)
+    span = stop - start
+    csum = jnp.cumsum(span)
+    total = csum[-1]
+    tstart = csum - span
+    g = jnp.arange(G, dtype=jnp.int32)
+    bt = jnp.searchsorted(csum, g, side="right").astype(jnp.int32)
+    live = g < total
+    bt = jnp.minimum(bt, B * T - 1)
+    k = g - tstart[bt]
+    blk = jnp.minimum(start[bt] + k, stop[bt] - 1)
+    first = live & (k == 0)
+    last = live & (k == span[bt] - 1)
+    meta = jnp.stack([bt, blk, first.astype(jnp.int32),
+                      last.astype(jnp.int32), live.astype(jnp.int32)],
+                     axis=-1)
+    return meta, total
 
 
 def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
-                       win: int, spw: int, distinct: bool, bounded: bool,
-                       ss_ref, seed_ref, x_ref, c_ref,
-                       idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
-    b, mt = pl.program_id(0), pl.program_id(1)
-    n_k = pl.num_programs(2)
-    k, kb, in_scan, in_span, off = _scan_step(ss_ref, span_blocks, bounded)
+                       win: int, spw: int, distinct: bool, mode: str,
+                       T: int, *refs):
+    if mode == "flat":
+        meta_ref, refs = refs[0], refs[1:]
+    else:
+        meta_ref = None
+    (ss_ref, seed_ref, x_ref, c_ref,
+     idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc) = refs
+    b, mt, kb, in_scan, in_span, off, first, last = _scan_step(
+        span_blocks, mode, T, ss_ref, meta_ref)
 
-    @pl.when(k == 0)
+    @pl.when(first)
     def _():
         idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
         cnt_acc[:] = jnp.zeros(cnt_acc.shape, jnp.int32)
@@ -263,24 +309,27 @@ def _group_slab_kernel(r2: float, n_valid: int, span_blocks: int, K: int,
                     first_acc[0, :])
         _emit_rows(idx_ref, row_list, kb, off, in_span)
 
-    @pl.when(k == n_k - 1)
+    @pl.when(last)
     def _():
         cnt_ref[0, :] = cnt_acc[0, :]
         sel_ref[0, :] = first_acc[0, :]
 
 
 def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
-                      bounded: bool,
-                      ss_ref, seed_ref, x_ref, f_ref, c_ref,
-                      idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc):
+                      mode: str, T: int, *refs):
     """f_ref [9, TM] row-major 3x3 frames (columns = gripper axes);
     c_ref [3, TM] grasp bases — same contract as ops/crop_pallas.py."""
     xlo, xhi, yabs, zabs = box
-    b, mt = pl.program_id(0), pl.program_id(1)
-    n_k = pl.num_programs(2)
-    k, kb, in_scan, in_span, off = _scan_step(ss_ref, span_blocks, bounded)
+    if mode == "flat":
+        meta_ref, refs = refs[0], refs[1:]
+    else:
+        meta_ref = None
+    (ss_ref, seed_ref, x_ref, f_ref, c_ref,
+     idx_ref, cnt_ref, sel_ref, cnt_acc, first_acc) = refs
+    b, mt, kb, in_scan, in_span, off, first, last = _scan_step(
+        span_blocks, mode, T, ss_ref, meta_ref)
 
-    @pl.when(k == 0)
+    @pl.when(first)
     def _():
         idx_ref[...] = jnp.full(idx_ref.shape, -1, jnp.int32)
         cnt_acc[:] = jnp.zeros(cnt_acc.shape, jnp.int32)
@@ -323,35 +372,29 @@ def _crop_slab_kernel(box: tuple, n_valid: int, span_blocks: int, K: int,
                 (first_acc[0, :] < 0) & ok & in_span, win, first_acc[0, :])
         _emit_rows(idx_ref, row_list, kb, off, in_span)
 
-    @pl.when(k == n_k - 1)
+    @pl.when(last)
     def _():
         cnt_ref[0, :] = cnt_acc[0, :]
         sel_ref[0, :] = first_acc[0, :]
 
 
-def _slab_select_call(kernel, B, Mp, K, grid_k, bounded, interpret,
+def _slab_select_call(kernel, B, Mp, K, nblk, interpret,
                       ss, seed, *tensors):
-    """Shared pallas_call plumbing for the two selection kernels.
+    """Full-grid pallas_call plumbing for the two selection kernels.
 
     tensors[0] is the [B, nblk*_SCAN, 3] sorted cloud — points on the
     SUBLANE axis (scanned at the prefetched slab block index); the rest
     are [B, rows, Mp] per-query tensors tiled along the query dim.
-    grid_k = scan blocks walked per tile: nblk for the full grid, the
-    static span cap for the bounded grid (kernel step k -> block
-    start+k)."""
+    Grid (B, T, nblk): every scan block is a grid step; steps outside a
+    tile's span skip compute AND the x fetch (the index map clips into
+    the span, re-presenting a resident block)."""
     T = Mp // _TM
-    grid = (B, T, grid_k)
+    grid = (B, T, nblk)
 
-    if bounded:
-        def x_map(b, mt, k, ss_ref):
-            lo = ss_ref[b, mt, 0]
-            hi = ss_ref[b, mt, 1] - 1
-            return (b, jnp.minimum(lo + k, hi), 0)
-    else:
-        def x_map(b, mt, k, ss_ref):
-            lo = ss_ref[b, mt, 0]
-            hi = ss_ref[b, mt, 1] - 1
-            return (b, jnp.clip(k, lo, hi), 0)
+    def x_map(b, mt, k, ss_ref):
+        lo = ss_ref[b, mt, 0]
+        hi = ss_ref[b, mt, 1] - 1
+        return (b, jnp.clip(k, lo, hi), 0)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((None, _SCAN, 3), x_map,
@@ -391,6 +434,57 @@ def _slab_select_call(kernel, B, Mp, K, grid_k, bounded, interpret,
     )(ss, seed, *tensors)
 
 
+def _slab_flat_call(kernel, B, Mp, K, G, interpret,
+                    meta, ss, seed, *tensors):
+    """Flat-grid (sum-of-spans) pallas_call for the selection kernels.
+
+    Grid (G,): step g scans block meta[g, 1] for flat tile meta[g, 0]
+    (= b*T + mt).  Live steps cover exactly each tile's [start, stop)
+    span — dead scan blocks cost ZERO grid steps instead of a clipped
+    revisit; padding steps (g >= total) re-present the final block and
+    skip compute.  Output blocks are visited contiguously per tile
+    (one fetch/writeback each)."""
+    T = Mp // _TM
+
+    def x_map(g, meta_ref, ss_ref):
+        bt = meta_ref[g, 0]
+        return (bt // T, meta_ref[g, 1], 0)
+
+    def q_map(g, meta_ref, ss_ref):
+        bt = meta_ref[g, 0]
+        return (bt // T, 0, bt - (bt // T) * T)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, _SCAN, 3), x_map,
+                             memory_space=pltpu.VMEM)]
+    for t in tensors[1:]:
+        in_specs.append(pl.BlockSpec((None, t.shape[1], _TM), q_map,
+                                     memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((None, K, _TM), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, _TM), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, _TM), q_map, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, _TM), jnp.int32),
+                        pltpu.VMEM((1, _TM), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, ss, seed, *tensors)
+
+
 def span_blocks_for(k: int, win: int, spw: int) -> int:
     """Selection-span blocks for K output slots at (win, spw) geometry."""
     rps = spw * _SCAN // win
@@ -425,21 +519,35 @@ def _pad_cols(a: jax.Array, np_: int, value: float) -> jax.Array:
 
 def _dispatch_select(make_kernel, B, Mp, K, nblk, grid_span, interpret,
                      ss, seed, *tensors):
-    """Run the bounded grid when every tile's scan span fits the static
-    cap (the overwhelmingly common case — tiles touch 2-4 of ~13 blocks,
-    but the full grid still pays ~1us per skipped step), else fall back
-    to the full grid.  Both branches scan the same blocks in the same
-    order, so outputs are bit-identical."""
-    def call(bounded, grid_k):
-        kern = make_kernel(bounded)
-        return lambda: _slab_select_call(kern, B, Mp, K, grid_k, bounded,
-                                         interpret, ss, seed, *tensors)
+    """Run the flat sum-of-spans grid (G = B*T*grid_span steps TOTAL,
+    one per live (tile, block) pair) when the tiles' spans sum to <= G
+    — tiles touch 2-4 of ~13 blocks, and the flat grid pays for exactly
+    those instead of ~1us per skipped step — else fall back to the full
+    grid.  Both branches scan the same blocks in the same order, so
+    outputs are bit-identical.
 
-    cap = min(grid_span, nblk)
-    if cap >= nblk:
-        return call(False, nblk)()
-    span_max = jnp.max(ss[..., 1] - ss[..., 0])
-    return lax.cond(span_max <= cap, call(True, cap), call(False, nblk))
+    MEASURED (tools/ab_flat_grid.py, TPU v5e, 2026-08-18): the flat grid
+    is bit-identical but NOT faster — 0.498 vs 0.487 ms/call in-jit at
+    the serving shapes — because skipped full-grid steps (no DMA, no
+    compute) cost ~nothing in the transposed kernels, while the flat
+    path adds the meta-table XLA ops.  grid_span=None (default) therefore
+    runs the full grid, which also compiles ONE kernel variant instead
+    of two (the lax.cond traces and Mosaic-compiles both — a one-time
+    remote-compile cost the persistent cache amortizes).  The flat grid
+    stays available for much larger clouds (nblk >> 13), where dead
+    steps multiply."""
+    T = Mp // _TM
+    if grid_span is None or grid_span >= nblk:
+        return _slab_select_call(make_kernel("full"), B, Mp, K, nblk,
+                                 interpret, ss, seed, *tensors)
+    G = B * T * grid_span
+    meta, total = _flat_steps(ss, G)
+    return lax.cond(
+        total <= G,
+        lambda: _slab_flat_call(make_kernel("flat"), B, Mp, K, G,
+                                interpret, meta, ss, seed, *tensors),
+        lambda: _slab_select_call(make_kernel("full"), B, Mp, K, nblk,
+                                  interpret, ss, seed, *tensors))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "group_num",
@@ -449,7 +557,7 @@ def _dispatch_select(make_kernel, B, Mp, K, nblk, grid_span, interpret,
 def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
                radius: float, group_num: int, cell: float,
                win: int = _WIN_GROUP, spw: int = _SPW_GROUP,
-               distinct: bool = False, grid_span: int = 6,
+               distinct: bool = False, grid_span: int | None = None,
                interpret: bool = False):
     """Slab radius grouping over a sorted cloud.
 
@@ -461,6 +569,11 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
         window; `distinct=True` samples without replacement within each
         window (used by the SA-layer ball query, where max-pool diversity
         matters and the span must cover the whole ball).
+      grid_span: None (default) = full grid — the MEASURED best at the
+        inference preset (see _dispatch_select).  An int enables the
+        flat sum-of-spans grid with that many AVERAGE scan blocks per
+        tile (measured spans average 2.4-3.9); overflow falls back to
+        the full grid under lax.cond.
 
     Returns:
       index [B, M, K] int32 rows into sc.xyz (empty slots filled with the
@@ -486,9 +599,10 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
     ss = slab_bounds(sc.cell_row, c[:, 0, :], radius, cell, nblk, span_b)
     seed = jnp.asarray(seed, jnp.uint32).reshape(1)
 
-    def make_kernel(bounded):
+    def make_kernel(mode):
         return functools.partial(_group_slab_kernel, float(radius) ** 2,
-                                 N, span_b, K, win, spw, distinct, bounded)
+                                 N, span_b, K, win, spw, distinct, mode,
+                                 Mp // _TM)
     idx, cnt, first = _dispatch_select(make_kernel, B, Mp, K, nblk,
                                        grid_span, interpret, ss, seed,
                                        x, c)
@@ -506,7 +620,7 @@ def group_slab(sc: SortedCloud, centers: jax.Array, seed: jax.Array,
                                              "interpret"))
 def crop_slab(sc: SortedCloud, frame: jax.Array, center: jax.Array,
               seed: jax.Array, box: tuple, gripper_num: int, cell: float,
-              grid_span: int = 6, interpret: bool = False):
+              grid_span: int | None = None, interpret: bool = False):
     """Slab closing-region crop over a sorted cloud.
 
     frame [B, M, 3, 3] (columns = gripper axes), center [B, M, 3]; box =
@@ -535,10 +649,10 @@ def crop_slab(sc: SortedCloud, frame: jax.Array, center: jax.Array,
     ss = slab_bounds(sc.cell_row, c[:, 0, :], bound, cell, nblk, span_b)
     seed = jnp.asarray(seed, jnp.uint32).reshape(1)
 
-    def make_kernel(bounded):
+    def make_kernel(mode):
         return functools.partial(_crop_slab_kernel,
                                  tuple(float(v) for v in box), N, span_b,
-                                 K, bounded)
+                                 K, mode, Mp // _TM)
     idx, cnt, first = _dispatch_select(make_kernel, B, Mp, K, nblk,
                                        grid_span, interpret, ss, seed,
                                        x, f, c)
@@ -587,26 +701,38 @@ _SCAN_K = 1024  # key-block width (keys are the sparse level, e.g. 5120)
 _TM_K = 256     # queries per tile (3-NN kernel only)
 
 
-def _three_nn_slab_kernel(n_valid: int, ss_ref, xk_ref, q_ref,
-                          idx_ref, d_ref, d_acc, i_acc):
+def _three_nn_slab_kernel(n_valid: int, mode: str, T: int, *refs):
     """Running 3 smallest squared distances per query over slab key
-    blocks.  d_acc/i_acc [3, TM] scratch persists across the k grid dim
-    (innermost, sequential).  Bounded grid: step k means key block
-    start+k — the wrapper clamps every tile's [start, stop) span to the
-    grid size (centered), and the exactness certificate + full-scan
-    fallback absorb any key the clamp excluded."""
-    b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    n_k = pl.num_programs(2)
-    start = ss_ref[b, mt, 0]
-    stop = ss_ref[b, mt, 1]
-    kb = start + k
+    blocks.  d_acc/i_acc [3, TM] scratch persists across the sequential
+    grid.  Bounded grid (mode="bounded", (B, T, cap)): step k means key
+    block start+k — the wrapper clamps every tile's [start, stop) span
+    to the grid size (centered), and the exactness certificate +
+    full-scan fallback absorb any key the clamp excluded.  Flat grid
+    (mode="flat", (G,)): one step per live (tile, block) pair from
+    `_flat_steps` over UNclamped spans — fewer steps AND no clamp, so
+    the certificate fails less often."""
+    if mode == "flat":
+        meta_ref, refs = refs[0], refs[1:]
+        ss_ref, xk_ref, q_ref, idx_ref, d_ref, d_acc, i_acc = refs
+        g = pl.program_id(0)
+        kb = meta_ref[g, 1]
+        first = meta_ref[g, 2] == 1
+        last = meta_ref[g, 3] == 1
+        live = meta_ref[g, 4] == 1
+    else:
+        ss_ref, xk_ref, q_ref, idx_ref, d_ref, d_acc, i_acc = refs
+        b, mt, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        kb = ss_ref[b, mt, 0] + k
+        first = k == 0
+        last = k == pl.num_programs(2) - 1
+        live = kb < ss_ref[b, mt, 1]
 
-    @pl.when(k == 0)
+    @pl.when(first)
     def _():
         d_acc[...] = jnp.full(d_acc.shape, _BIG, jnp.float32)
         i_acc[...] = jnp.zeros(i_acc.shape, jnp.int32)
 
-    @pl.when(kb < stop)
+    @pl.when(live)
     def _():
         # transposed layout: keys on sublanes, queries on lanes — the
         # six reductions per block run over the sublane axis as
@@ -637,16 +763,17 @@ def _three_nn_slab_kernel(n_valid: int, ss_ref, xk_ref, q_ref,
                 dn = jnp.where(take, ds, dn)
                 in_ = jnp.where(take, is_, in_)
 
-    @pl.when(k == n_k - 1)
+    @pl.when(last)
     def _():
         idx_ref[...] = i_acc[...]
         d_ref[...] = d_acc[...]
 
 
 @functools.partial(jax.jit, static_argnames=("bound", "grid_span",
-                                             "interpret"))
+                                             "flat", "interpret"))
 def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
-                  grid_span: int = 3, interpret: bool = False
+                  grid_span: int = 3, flat: bool = False,
+                  interpret: bool = False
                   ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """3 nearest keys per query, scanning only keys with |kx - qx| within
     each query tile's x-range + `bound`.
@@ -685,50 +812,93 @@ def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
                     )(kx, lo)
     erow = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right")
                     )(kx, hi)
-    start = jnp.clip(srow // _SCAN_K, 0, nkb - 1).astype(jnp.int32)
-    stop = jnp.clip(-(-erow // _SCAN_K), start + 1, nkb).astype(jnp.int32)
-    # bounded grid: clamp each tile's span to `cap` blocks, centered on
-    # the slab — any excluded key shows up in the certificate below and
-    # triggers the caller's exact full-scan fallback
-    cap = min(grid_span, nkb)
-    if cap < nkb:
-        mid = ((srow + erow) // (2 * _SCAN_K)).astype(jnp.int32)
-        s_ctr = jnp.clip(mid - cap // 2, 0, nkb - cap)
-        start = jnp.where(stop - start > cap, s_ctr, start)
-        stop = jnp.minimum(stop, start + cap)
-    ss = jnp.stack([start, stop], axis=-1)
+    start_u = jnp.clip(srow // _SCAN_K, 0, nkb - 1).astype(jnp.int32)
+    stop_u = jnp.clip(-(-erow // _SCAN_K), start_u + 1,
+                      nkb).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, T, cap),
-        in_specs=[
-            pl.BlockSpec((None, _SCAN_K, 3),
-                         lambda b, mt, k, ss_ref: (
-                             b, jnp.minimum(ss_ref[b, mt, 0] + k,
-                                            ss_ref[b, mt, 1] - 1), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 3, _TM_K),
-                         lambda b, mt, k, ss_ref: (b, 0, mt),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, 3, _TM_K),
-                         lambda b, mt, k, ss_ref: (b, 0, mt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 3, _TM_K),
-                         lambda b, mt, k, ss_ref: (b, 0, mt),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((3, _TM_K), jnp.float32),
-                        pltpu.VMEM((3, _TM_K), jnp.int32)],
-    )
-    idx, d2 = pl.pallas_call(
-        functools.partial(_three_nn_slab_kernel, NK),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, 3, Mp), jnp.int32),
-                   jax.ShapeDtypeStruct((B, 3, Mp), jnp.float32)],
-        interpret=interpret,
-    )(ss, xk, q)
+    out_shape = [jax.ShapeDtypeStruct((B, 3, Mp), jnp.int32),
+                 jax.ShapeDtypeStruct((B, 3, Mp), jnp.float32)]
+    scratch = [pltpu.VMEM((3, _TM_K), jnp.float32),
+               pltpu.VMEM((3, _TM_K), jnp.int32)]
+    q_spec3 = pl.BlockSpec((None, 3, _TM_K),
+                           lambda b, mt, k, ss_ref: (b, 0, mt),
+                           memory_space=pltpu.VMEM)
+
+    def call_bounded(cap):
+        # clamp each tile's span to `cap` blocks, centered on the slab —
+        # any excluded key shows up in the certificate below and
+        # triggers the caller's exact full-scan fallback
+        if cap < nkb:
+            mid = ((srow + erow) // (2 * _SCAN_K)).astype(jnp.int32)
+            s_ctr = jnp.clip(mid - cap // 2, 0, nkb - cap)
+            start = jnp.where(stop_u - start_u > cap, s_ctr, start_u)
+            stop = jnp.minimum(stop_u, start + cap)
+        else:
+            start, stop = start_u, stop_u
+        ss = jnp.stack([start, stop], axis=-1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, T, cap),
+            in_specs=[
+                pl.BlockSpec((None, _SCAN_K, 3),
+                             lambda b, mt, k, ss_ref: (
+                                 b, jnp.minimum(ss_ref[b, mt, 0] + k,
+                                                ss_ref[b, mt, 1] - 1), 0),
+                             memory_space=pltpu.VMEM),
+                q_spec3,
+            ],
+            out_specs=[q_spec3, q_spec3],
+            scratch_shapes=scratch,
+        )
+        idx, d2 = pl.pallas_call(
+            functools.partial(_three_nn_slab_kernel, NK, "bounded", T),
+            grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret)(ss, xk, q)
+        return idx, d2, start, stop
+
+    def call_flat(G):
+        # flat sum-of-spans grid over the UNclamped spans: fewer steps
+        # than (B, T, cap) and no recentring, so the certificate only
+        # fails on genuinely key-sparse queries
+        ss = jnp.stack([start_u, stop_u], axis=-1)
+        meta, _total = _flat_steps(ss, G)
+
+        def x_map(g, meta_ref, ss_ref):
+            bt = meta_ref[g, 0]
+            return (bt // T, meta_ref[g, 1], 0)
+
+        def q_map(g, meta_ref, ss_ref):
+            bt = meta_ref[g, 0]
+            return (bt // T, 0, bt - (bt // T) * T)
+
+        q_spec = pl.BlockSpec((None, 3, _TM_K), q_map,
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[pl.BlockSpec((None, _SCAN_K, 3), x_map,
+                                   memory_space=pltpu.VMEM),
+                      q_spec],
+            out_specs=[q_spec, q_spec],
+            scratch_shapes=scratch,
+        )
+        idx, d2 = pl.pallas_call(
+            functools.partial(_three_nn_slab_kernel, NK, "flat", T),
+            grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret)(meta, ss, xk, q)
+        return idx, d2, start_u, stop_u
+
+    cap = min(grid_span, nkb)
+    if cap >= nkb or not flat:
+        idx, d2, start, stop = call_bounded(cap)
+    else:
+        # G hugs the measured span sum (mean ~2.1 blocks/tile at the
+        # inference preset) — padding steps cost grid latency like the
+        # bounded grid's skipped steps, so oversizing G wastes the win
+        G = (B * T * 5) // 2
+        _meta, total = _flat_steps(jnp.stack([start_u, stop_u], -1), G)
+        idx, d2, start, stop = lax.cond(
+            total <= G, lambda: call_flat(G), lambda: call_bounded(cap))
     idx = jnp.swapaxes(idx, 1, 2)[:, :Nq]
     d2 = jnp.swapaxes(d2, 1, 2)[:, :Nq]
 
@@ -746,6 +916,11 @@ def three_nn_slab(query: jax.Array, key: jax.Array, bound: float = 0.06,
     qx = qt                                                   # [B, T, TM]
     margin = jnp.minimum(qx - left_x[..., None],
                          right_x[..., None] - qx)
+    # a query can sit OUTSIDE its tile's scanned window when the span
+    # clamp recentred it (cap < span) — margin goes negative there;
+    # clamp to 0 so such queries are explicitly unproven instead of
+    # relying on margin*margin looking like a positive budget
+    margin = jnp.maximum(margin, 0.0)
     margin = margin.reshape(B, Mp)[:, :Nq]
     proven = jnp.all(d2[..., 2] <= margin * margin, axis=-1)  # [B]
     return idx, d2, proven

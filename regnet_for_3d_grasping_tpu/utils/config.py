@@ -77,6 +77,14 @@ class ModelConfig:
     # suite (tools/benchmark_eval.py)
     fps_groups: int = 1
 
+    # Slab 3-NN scan bound for the last FP layer (ops/slab.three_nn_slab
+    # `bound`, meters): keys within |kx - qx| <= bound of a query tile
+    # are scanned; larger-scale clouds need a larger bound or every
+    # batch trips the (exact but slow) full-scan fallback — the event is
+    # observable via the "intermediates" collection
+    # (fp3_slab_fallback, models/backbone.py)
+    fp3_nn_bound: float = 0.06
+
     # Numerics
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     bn_momentum: float = 0.1         # torch convention; flax momentum = 1 - this

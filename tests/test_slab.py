@@ -326,8 +326,10 @@ class TestThreeNNSlab:
                 assert same[margin_ok].all()
 
     def test_grid_span_clamp_is_certified(self):
-        """A too-small grid_span clamps tiles' scan windows; every query
-        whose true 3-NN was excluded must be flagged by the certificate
+        """A too-small grid_span clamps tiles' scan windows (the BOUNDED
+        fallback path — the flat sum-of-spans grid never clamps, so
+        flat=False forces the path under test); every query whose true
+        3-NN was excluded must be flagged by the certificate
         (proven=False), never silently wrong when proven=True."""
         pts = _cloud(B=2, N=4096, seed=6)
         rng = np.random.RandomState(7)
@@ -342,7 +344,7 @@ class TestThreeNNSlab:
             interpret=True)
         got_i, got_d, got_p = slab.three_nn_slab(
             sc.xyz, jnp.asarray(keys), bound=0.08, grid_span=1,
-            interpret=True)
+            flat=False, interpret=True)
         for b in range(2):
             if bool(np.asarray(got_p)[b]):
                 np.testing.assert_allclose(np.asarray(got_d)[b],
@@ -350,6 +352,24 @@ class TestThreeNNSlab:
         # with the whole table squeezed into 1 of 4 blocks, at least one
         # batch must be unproven (sanity that the clamp actually bit)
         assert not bool(np.asarray(got_p).all())
+
+    def test_flat_grid_matches_full(self):
+        """The flat sum-of-spans grid scans the same (unclamped) spans
+        as the full grid, so results and certificates must agree."""
+        pts = _cloud(B=2, N=4096, seed=12)
+        rng = np.random.RandomState(21)
+        _, sc = slab.sort_cloud(jax.random.PRNGKey(9), jnp.asarray(pts),
+                                CELL)
+        NK = 4096                                 # 4 key blocks
+        keys = np.stack([pts[b][rng.choice(pts.shape[1], NK, False)]
+                         for b in range(pts.shape[0])])
+        keys = np.stack([k[np.argsort(k[:, 0])] for k in keys])
+        fl = slab.three_nn_slab(sc.xyz, jnp.asarray(keys), bound=0.08,
+                                flat=True, interpret=True)
+        fu = slab.three_nn_slab(sc.xyz, jnp.asarray(keys), bound=0.08,
+                                grid_span=99, interpret=True)
+        for a, b in zip(fl, fu):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_certificate_triggers_on_sparse_keys(self):
         """Keys clustered far from some queries -> unproven, and the FP
@@ -365,6 +385,63 @@ class TestThreeNNSlab:
         qi, qd, proven = slab.three_nn_slab(sc.xyz, jnp.asarray(keys),
                                             bound=0.05, interpret=True)
         assert not bool(np.asarray(proven)[0])
+
+
+class TestFP3FallbackObservability:
+    """VERDICT r3 item 7: FeaturePropagation.nn_bound is a hardcoded
+    metric-scale assumption — on clouds at a different scale the slab
+    exactness certificate fails every batch and the full-scan fallback
+    silently eats the slab win.  The event must be observable."""
+
+    def _fp_data(self, scale):
+        rng = np.random.RandomState(30)
+        pts = rng.uniform(-0.35, 0.35, (1, 4096, 3)).astype(np.float32)
+        pts[..., 2] *= 0.1
+        pts *= scale
+        pts = pts[:, np.argsort(pts[0, :, 0])]
+        # independent keys (disjoint from the queries: coincident points
+        # create exact-tie NN sets where the matmul-form bpdist2 and the
+        # kernel's elementwise d2 can break ties differently)
+        keys = rng.uniform(-0.35, 0.35, (1, 4096, 3)).astype(np.float32)
+        keys[..., 2] *= 0.1
+        keys *= scale
+        sfeat = rng.randn(1, 4096, 8).astype(np.float32)
+        return (jnp.asarray(pts), jnp.asarray(keys), jnp.asarray(sfeat))
+
+    @pytest.mark.parametrize("scale,expect_fallback",
+                             [(1.0, False), (20.0, True)])
+    def test_fallback_counter(self, scale, expect_fallback):
+        from regnet_for_3d_grasping_tpu.geometry import region as R
+        from regnet_for_3d_grasping_tpu.models.backbone import (
+            FeaturePropagation)
+        from regnet_for_3d_grasping_tpu.ops import three_nn
+
+        old = R.SLAB_INTERPRET
+        R.SLAB_INTERPRET = True
+        try:
+            dense, keys, sfeat = self._fp_data(scale)
+            fp = FeaturePropagation(mlp_channels=(16,), use_slab=True,
+                                    nn_bound=0.06)
+            variables = fp.init(jax.random.PRNGKey(0), dense, keys, None,
+                                sfeat)
+            out, inter = fp.apply(variables, dense, keys, None, sfeat,
+                                  mutable=["intermediates"])
+            cnt = int(inter["intermediates"]["fp3_slab_fallback"][0])
+            assert (cnt > 0) == expect_fallback, (cnt, scale)
+
+            # either way the layer output tracks the exact-path output.
+            # The two paths round d2 differently (elementwise kernel vs
+            # matmul-form bpdist2), giving ~1e-4 weight noise everywhere
+            # and occasional near-tie 3rd-NN swaps — so compare by
+            # quantile, not strict allclose.
+            exact = FeaturePropagation(mlp_channels=(16,),
+                                       use_slab=False)
+            ref = exact.apply(variables, dense, keys, None, sfeat)
+            d = np.abs(np.asarray(out) - np.asarray(ref))
+            assert np.quantile(d, 0.99) < 2e-3, np.quantile(d, 0.99)
+            assert (d > 1e-2).mean() < 0.005, (d > 1e-2).mean()
+        finally:
+            R.SLAB_INTERPRET = old
 
 
 class TestSlabModelPath:

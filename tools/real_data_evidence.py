@@ -1,0 +1,184 @@
+"""Reference-anchored REAL-data evidence (VERDICT r3 item 3).
+
+The reference commits its own trained model's predictions on two real
+Kinect clouds (`/root/reference/test_file/real_data_predict/
+000{0,1}_cloud.p`, produced by test.py:143-148).  That is the only
+quality signal anchored to the reference model rather than to synthetic
+scenes.  This script:
+
+  1. reconstructs the camera-frame .pcd inputs from the committed
+     pickles (inverting the camera->global transform, utils.py:433-440),
+  2. runs OUR trained weights (weights/r3_retrain_e100.npz) through the
+     full real-data path (cli.infer: pcd read -> transform -> workspace
+     crop -> resample -> cascade, --no-eval so raw sets come out),
+  3. computes the eval_test survival funnel (above-table / close-plane /
+     back-collision / finger-collision, eval/collision.view_check_funnel)
+     for OUR stage-2 and stage-3 grasps AND for the reference's
+     committed grasp_stage3 set under OUR evaluator,
+  4. computes center-distribution overlap stats (bidirectional nearest-
+     center distances, coverage within 5 cm),
+  5. writes docs/evidence/real_data_r4.json + a PLY render of cloud 0000
+     with our accepted stage-3 grasps (docs/evidence/real_data_r4.ply).
+
+tests/test_real_data_canary.py pins the reference-set funnel (pure
+geometry, deterministic) and the committed artifact's invariants.
+
+Usage: python tools/real_data_evidence.py [--fast] [--out-dir docs/evidence]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+REF_DIR = "/root/reference/test_file/real_data_predict"
+CLOUDS = ["0000_cloud", "0001_cloud"]
+
+
+def reference_funnel(points: np.ndarray, grasps: np.ndarray,
+                     table_height: float = 0.75) -> dict:
+    """Survival funnel of `grasps` against `points` under OUR evaluator
+    (test-path settings: require_close_region=False, table_sign=+1)."""
+    import jax.numpy as jnp
+
+    from regnet_for_3d_grasping_tpu.eval.collision import view_check_funnel
+    from regnet_for_3d_grasping_tpu.utils.config import (
+        EvalConfig, GripperConfig)
+
+    g = GripperConfig()
+    masks = view_check_funnel(
+        jnp.asarray(points[:, :3], jnp.float32),
+        jnp.asarray(grasps[:, :8], jnp.float32),
+        table_height, g.depth, g, EvalConfig(), table_sign=+1.0)
+    out = {k: int(np.asarray(v).sum()) for k, v in masks.items()}
+    out["total"] = int(len(grasps))
+    return out
+
+
+def center_overlap(a: np.ndarray, b: np.ndarray, tol: float = 0.05):
+    """Bidirectional nearest-center stats between two grasp sets'
+    centers [Na,3] / [Nb,3]."""
+    if len(a) == 0 or len(b) == 0:
+        return {"a_to_b_mean": None, "b_to_a_mean": None,
+                "a_within_tol": None, "b_within_tol": None}
+    d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+    a2b = d.min(axis=1)
+    b2a = d.min(axis=0)
+    return {"a_to_b_mean": round(float(a2b.mean()), 4),
+            "b_to_a_mean": round(float(b2a.mean()), 4),
+            "a_within_tol": round(float((a2b < tol).mean()), 4),
+            "b_within_tol": round(float((b2a < tol).mean()), 4)}
+
+
+def write_pcd(path, pts_cam, colors):
+    rgb = (np.clip(colors, 0, 1) * 255).round().astype(np.uint32)
+    packed = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
+    arr = np.zeros(len(pts_cam),
+                   dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                          ("rgb", "u4")])
+    arr["x"], arr["y"], arr["z"] = pts_cam.astype(np.float32).T
+    arr["rgb"] = packed
+    with open(path, "wb") as f:
+        f.write(b"VERSION 0.7\nFIELDS x y z rgb\nSIZE 4 4 4 4\n"
+                b"TYPE F F F U\nCOUNT 1 1 1 1\n"
+                + f"WIDTH {len(arr)}\nHEIGHT 1\nPOINTS {len(arr)}\n"
+                .encode() + b"DATA binary\n")
+        f.write(arr.tobytes())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="weights/r3_retrain_e100.npz")
+    p.add_argument("--out-dir", default="docs/evidence")
+    p.add_argument("--fast", action="store_true",
+                   help="serving config (bf16+slab+fpsG8) for the forward")
+    args = p.parse_args()
+
+    from regnet_for_3d_grasping_tpu.utils import pcd as pcdio
+    from regnet_for_3d_grasping_tpu.cli import infer
+
+    T = pcdio.camera_to_global_transform()
+    Tinv = np.linalg.inv(T)
+
+    work = tempfile.mkdtemp(prefix="real_evidence_")
+    in_dir = os.path.join(work, "real_data")
+    os.makedirs(in_dir)
+    goldens = {}
+    for name in CLOUDS:
+        with open(os.path.join(REF_DIR, name + ".p"), "rb") as f:
+            goldens[name] = pickle.load(f)
+        pts_cam = pcdio.transform_points(
+            Tinv, goldens[name]["points"].astype(np.float64))
+        write_pcd(os.path.join(in_dir, name + ".pcd"), pts_cam,
+                  goldens[name]["colors"].astype(np.float64))
+
+    argv = ["--folder-name", in_dir, "--checkpoint", args.weights,
+            "--no-eval"]
+    if args.fast:
+        argv.append("--fast")
+    infer.main(argv)
+
+    report = {"weights": args.weights,
+              "config": "fast" if args.fast else "exact",
+              "clouds": {}}
+    for name in CLOUDS:
+        with open(os.path.join(work, "real_data_predict", name + ".p"),
+                  "rb") as f:
+            ours = pickle.load(f)
+        golden = goldens[name]
+        pts = golden["points"].astype(np.float32)
+
+        entry = {"funnel": {}, "center_overlap": {}}
+        for key in ("grasp_stage2", "grasp_stage3"):
+            if len(ours[key]):
+                entry["funnel"]["ours_" + key] = reference_funnel(
+                    pts, ours[key])
+        entry["funnel"]["reference_grasp_stage3"] = reference_funnel(
+            pts, golden["grasp_stage3"])
+
+        ref_ok = golden["grasp_stage3"]
+        our_masks = entry["funnel"].get("ours_grasp_stage3", {})
+        our_g = ours["grasp_stage3"]
+        if len(our_g):
+            entry["center_overlap"] = center_overlap(
+                our_g[:, :3], ref_ok[:, :3])
+        entry["counts"] = {
+            "ours_stage2": int(len(ours["grasp_stage2"])),
+            "ours_stage3": int(len(ours["grasp_stage3"])),
+            "reference_stage3": int(len(ref_ok)),
+        }
+        # score-distribution comparison (per-point graspability)
+        entry["score_hist_ours"] = np.histogram(
+            ours["scores"], bins=10, range=(0, 1))[0].tolist()
+        entry["score_hist_reference"] = np.histogram(
+            golden["scores"], bins=10, range=(0, 1))[0].tolist()
+        report["clouds"][name] = entry
+        print(name, json.dumps(entry["funnel"], indent=1))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_json = os.path.join(args.out_dir, "real_data_r4.json")
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", out_json)
+
+    # PLY render: cloud 0000 + our stage-3 grasps (vis/vis_grasp.py)
+    from regnet_for_3d_grasping_tpu.vis.vis_grasp import show_grasp
+    name = CLOUDS[0]
+    ply = show_grasp(
+        os.path.join(work, "real_data_predict", name + ".p"),
+        stage="grasp_stage3",
+        out_path=os.path.join(args.out_dir, "real_data_r4.ply"))
+    print("wrote", ply)
+
+
+if __name__ == "__main__":
+    main()
