@@ -79,6 +79,21 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations in backward "
                         "(fits larger per-chip batches)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 network compute for the TRAIN steps "
+                        "(params and optimizer state stay f32; validation "
+                        "forwards stay f32 so quality comparisons are "
+                        "apples-to-apples)")
+    p.add_argument("--slab-cell", type=float, default=0.0,
+                   help="sorted-slab geometry kernels in the TRAIN "
+                        "forward (region.slab_cell, 0.04 = the A/B'd "
+                        "serving setting; validation forwards stay exact). "
+                        "Quality-gate like the serving config — frozen "
+                        "suite + holdout")
+    p.add_argument("--fps-groups", type=int, default=1,
+                   help="stratified approximate FPS in the TRAIN forward "
+                        "(model.fps_groups; validation forwards stay "
+                        "exact)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax.profiler trace of steps 3-8 of the "
                         "first epoch (replaces the reference's ad-hoc "
@@ -166,10 +181,25 @@ def main(argv=None):
             "train.lr_step_epochs": args.lr_step_epochs,
             "train.lr_gamma": args.lr_gamma,
         })
+    import dataclasses
     if args.remat:
-        import dataclasses
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, remat_backbone=True))
+    # fast-training knobs apply to the TRAIN config only; `exact_cfg`
+    # below (validation forwards) keeps exact geometry + f32 compute
+    exact_cfg = cfg
+    if args.slab_cell > 0.0:
+        cfg = dataclasses.replace(
+            cfg, region=dataclasses.replace(cfg.region,
+                                            slab_cell=args.slab_cell))
+    if args.fps_groups > 1:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           fps_groups=args.fps_groups))
+    train_dtype = None
+    if args.bf16:
+        import jax.numpy as _jnp
+        train_dtype = _jnp.bfloat16
 
     if args.synthetic_scenes:
         write_synthetic_dataset(args.data_path, args.synthetic_scenes,
@@ -188,7 +218,7 @@ def main(argv=None):
     batch_size = args.batch_size if is_train else 1
     steps_per_epoch = max(len(train_ds) // max(batch_size, 1), 1)
 
-    model = REGNet(cfg)
+    model = REGNet(cfg, dtype=train_dtype)
     devices = jax.devices()
     mesh = make_mesh(devices) if (is_train and len(devices) > 1
                                   and batch_size % len(devices) == 0) \
@@ -229,21 +259,22 @@ def main(argv=None):
         jitter = [int(v) for v in args.center_jitter.split(",") if v]
         cfgs = [_with_center_num(cfg, v) for v in jitter]
         train_steps = [
-            trainer.make_train_step(REGNet(c), optimizer, c, stage, mesh)
+            trainer.make_train_step(REGNet(c, dtype=train_dtype),
+                                    optimizer, c, stage, mesh)
             for c in cfgs]
         print(f"center_num jitter over {jitter}")
     else:
         train_steps = [trainer.make_train_step(model, optimizer, cfg,
                                                stage, mesh)]
 
+    # validation forwards: exact geometry, f32 compute (exact_cfg) —
+    # the fast-training knobs never touch the quality measurements
     if args.eval_center_num:
-        eval_cfg = _with_center_num(cfg, args.eval_center_num)
-        eval_step = trainer.make_eval_step(REGNet(eval_cfg), eval_cfg,
-                                           stage)
+        eval_cfg = _with_center_num(exact_cfg, args.eval_center_num)
         print(f"validation forwards at center_num={args.eval_center_num}")
     else:
-        eval_cfg = cfg
-        eval_step = trainer.make_eval_step(model, cfg, stage)
+        eval_cfg = exact_cfg
+    eval_step = trainer.make_eval_step(REGNet(eval_cfg), eval_cfg, stage)
 
     # geometric eval parallelism: one scene per device (VERDICT r2 #4 —
     # previously the per-scene collision checks ran host-sequentially

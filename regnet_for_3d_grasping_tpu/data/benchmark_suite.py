@@ -27,7 +27,11 @@ import numpy as np
 
 from regnet_for_3d_grasping_tpu.data.synthetic import make_synthetic_scene
 
-SUITE_VERSION = 1
+# v1: iid-uniform per-point colors (rounds 1-3).  v2 (round 4): coherent
+# per-object colors — the realistic distribution the retrained models are
+# gated on (data/synthetic.py color_mode docstring).  Both stay
+# verifiable; metrics files name the suite version they were run on.
+SUITE_VERSION = 2
 NUM_VIEW = 25600
 
 # Seeds live far outside every training range used so far (training
@@ -35,30 +39,38 @@ NUM_VIEW = 25600
 _SPARSE_SEEDS = list(range(9000, 9012))    # 2-3 objects: round-1 regime
 _CLUTTER_SEEDS = list(range(9100, 9112))   # generator default 4-8 objects
 
-_FINGERPRINT_FILE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))),
-    "docs", "evidence", f"benchmark_suite_v{SUITE_VERSION}.json")
+_COLOR_MODE = {1: "iid", 2: "coherent"}
 
 
-def suite_specs() -> List[dict]:
+def _fingerprint_file(version: int) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "docs", "evidence", f"benchmark_suite_v{version}.json")
+
+
+def suite_specs(version: int = SUITE_VERSION) -> List[dict]:
     """The canonical scene list: name, generator seed and parameters."""
+    cm = _COLOR_MODE[version]
     specs = []
     for i, seed in enumerate(_SPARSE_SEEDS):
         specs.append({"name": f"sparse_{i:02d}", "regime": "sparse",
                       "seed": seed, "num_objects": 2 + i % 2,
-                      "view_index": i % 4, "num_view": NUM_VIEW})
+                      "view_index": i % 4, "num_view": NUM_VIEW,
+                      "color_mode": cm})
     for i, seed in enumerate(_CLUTTER_SEEDS):
         specs.append({"name": f"clutter_{i:02d}", "regime": "clutter",
                       "seed": seed, "num_objects": None,
-                      "view_index": i % 4, "num_view": NUM_VIEW})
+                      "view_index": i % 4, "num_view": NUM_VIEW,
+                      "color_mode": cm})
     return specs
 
 
 def generate_scene(spec: dict) -> dict:
     return make_synthetic_scene(
         spec["seed"], num_view=spec["num_view"],
-        num_objects=spec["num_objects"], view_index=spec["view_index"])
+        num_objects=spec["num_objects"], view_index=spec["view_index"],
+        color_mode=spec.get("color_mode", "iid"))
 
 
 def scene_fingerprint(scene: dict) -> str:
@@ -75,23 +87,23 @@ def scene_fingerprint(scene: dict) -> str:
     return h.hexdigest()
 
 
-def load_fingerprints() -> dict:
-    with open(_FINGERPRINT_FILE) as f:
+def load_fingerprints(version: int = SUITE_VERSION) -> dict:
+    with open(_fingerprint_file(version)) as f:
         return json.load(f)
 
 
-def write_fingerprints() -> dict:
+def write_fingerprints(version: int = SUITE_VERSION) -> dict:
     """Regenerate every suite scene and (re)write the committed digest
     file.  Only meant to be run when SUITE_VERSION is bumped."""
-    out = {"suite_version": SUITE_VERSION, "num_view": NUM_VIEW,
+    out = {"suite_version": version, "num_view": NUM_VIEW,
            "scenes": {}}
-    for spec in suite_specs():
+    for spec in suite_specs(version):
         out["scenes"][spec["name"]] = {
             **{k: spec[k] for k in ("regime", "seed", "num_objects",
-                                    "view_index")},
+                                    "view_index", "color_mode")},
             "sha256": scene_fingerprint(generate_scene(spec)),
         }
-    with open(_FINGERPRINT_FILE, "w") as f:
+    with open(_fingerprint_file(version), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     return out
 

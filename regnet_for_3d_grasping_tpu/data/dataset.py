@@ -140,6 +140,20 @@ class GraspDataset:
         color[label != 0] *= obj_t
         return color
 
+    def _global_color_aug(self, rng, color):
+        """Scene-level photometric augmentation: per-channel gain, gamma
+        and a brightness offset.  The reference's per-class jitter
+        (_noise_color, scoredataset.py:52-58) only ever scales colors
+        DOWN; a model trained without upward/global shifts collapses on
+        the brighter real Kinect clouds (+0.23 global brightness alone
+        zeroes the score spread — docs/evidence/real_data_r4.json).
+        Applied after _noise_color; rounds >= 4."""
+        gain = rng.uniform(0.7, 1.3, 3).astype(np.float32)
+        gamma = np.float32(rng.uniform(0.7, 1.4))
+        offset = np.float32(rng.uniform(-0.25, 0.3))
+        color = np.clip(color * gain, 0.0, 1.0) ** gamma
+        return np.clip(color + offset, 0.0, 1.0)
+
     def get(self, index: int, rng: np.random.RandomState,
             augment: bool = True):
         data = load_scene(self.paths[index])
@@ -154,6 +168,7 @@ class GraspDataset:
         score, label = score[sel], label[sel]
         if augment:
             color = self._noise_color(rng, color, label)
+            color = self._global_color_aug(rng, color)
 
         frames, scores, valid = pad_gt_grasps(data, self.max_gt_grasps)
         return (np.c_[view, color], np.tanh(score), label,

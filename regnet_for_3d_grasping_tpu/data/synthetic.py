@@ -323,8 +323,21 @@ def _visible_mask(points, cam, bins=768, tol=0.01):
 def make_synthetic_scene(seed: int, num_view: int = 12000,
                          num_objects: int | None = None,
                          scene_multiple: int = 4,
-                         view_index: int | None = None) -> dict:
-    """Build one scene dict in the reference pickle schema."""
+                         view_index: int | None = None,
+                         color_mode: str = "iid") -> dict:
+    """Build one scene dict in the reference pickle schema.
+
+    color_mode:
+      * "iid" — per-point uniform random rgb (the v1 suite / r1-r3
+        training distribution; kept so the v1 fingerprints stay valid).
+      * "coherent" — one base color per object / the table + per-point
+        texture noise + a per-scene lighting level.  Real clouds are
+        spatially coherent and brighter than iid-uniform; a score head
+        trained on iid colors collapses to a constant on the reference's
+        committed real Kinect clouds (+0.23 global brightness alone is
+        enough — docs/evidence/real_data_r4.json diagnosis), so training
+        data uses this mode from round 4 on.
+    """
     rng = np.random.RandomState(seed)
     if num_objects is None:
         num_objects = rng.randint(4, 8)
@@ -385,7 +398,14 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
         score = np.where(label > 0, score, 0.0).astype(np.float32)
     else:
         score = np.zeros(num_view, np.float32)
-    color = rng.rand(num_view, 3).astype(np.float32)
+    if color_mode == "coherent":
+        base = rng.rand(int(label.max()) + 1, 3).astype(np.float32)
+        color = base[label.astype(np.int64)]
+        color = color + rng.randn(num_view, 3).astype(np.float32) * 0.06
+        color = color + np.float32(rng.uniform(-0.15, 0.35))
+        color = np.clip(color, 0.0, 1.0)
+    else:
+        color = rng.rand(num_view, 3).astype(np.float32)
 
     n_scene = num_view * scene_multiple
     idx = np.random.RandomState(seed + 1).randint(0, len(all_pts), n_scene)
@@ -408,16 +428,21 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
 
 
 def write_synthetic_dataset(path: str, num_scenes: int = 8,
-                            num_view: int = 12000, seed: int = 0) -> list:
+                            num_view: int = 12000, seed: int = 0,
+                            color_mode: str = "coherent") -> list:
     """Write `num_scenes` scene pickles named like the reference data
-    (``{scene}_view_{view}.p``) under ``path/training_data``."""
+    (``{scene}_view_{view}.p``) under ``path/training_data``.
+
+    Training data defaults to coherent colors (make_synthetic_scene
+    docstring — iid-uniform colors train a color-brittle score head)."""
     out_dir = os.path.join(path, "training_data")
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i in range(num_scenes):
         view_index = i % len(_CAMERA_POSE)
         scene = make_synthetic_scene(seed + i, num_view=num_view,
-                                     view_index=view_index)
+                                     view_index=view_index,
+                                     color_mode=color_mode)
         p = os.path.join(out_dir, f"{i:04d}_view_{view_index}.p")
         with open(p, "wb") as f:
             pickle.dump(scene, f)

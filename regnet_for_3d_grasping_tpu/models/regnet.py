@@ -60,6 +60,11 @@ class REGNetOutput(NamedTuple):
     final_grasps: jax.Array     # [B, NC, R] stage-3 refined grasps
     refine_accept: jax.Array    # [B, NC] argmax(refine_logits) == 1
     score_accept: jax.Array     # [B, NC] accept & final score > threshold
+    # slab mode only: original row of each output row ([B, N], else None).
+    # Per-point outputs (score) come out in slab order; losses permute the
+    # per-point GT by this (train/losses.py) — everything else in the
+    # output is value-addressed and order-agnostic.
+    point_order: Optional[jax.Array] = None
 
 
 def decode_proposals(reg: jax.Array, anchor_idx: jax.Array,
@@ -255,4 +260,5 @@ class REGNet(nn.Module):
             final_grasps=final,
             refine_accept=refine_accept,
             score_accept=score_accept,
+            point_order=None if sc is None else sc.order,
         )

@@ -241,8 +241,17 @@ void fill_item(Loader* L, Batch& b, int slot, int scene_idx,
   float table_t[3], obj_t[3];
   for (int c = 0; c < 3; ++c) table_t[c] = uniformf(st);
   for (int c = 0; c < 3; ++c) obj_t[c] = 1.0f - uniformf(st) / 5.0f;
+  // scene-level photometric augmentation (dataset.py _global_color_aug:
+  // per-channel gain, gamma, brightness offset — same distributions,
+  // independent RNG stream)
+  float gain[3];
+  for (int c = 0; c < 3; ++c) gain[c] = 0.7f + 0.6f * uniformf(st);
+  float gamma = 0.7f + 0.7f * uniformf(st);
+  float offset = -0.25f + 0.55f * uniformf(st);
   if (!L->augment) {
-    for (int c = 0; c < 3; ++c) table_t[c] = obj_t[c] = 1.0f;
+    for (int c = 0; c < 3; ++c) table_t[c] = obj_t[c] = gain[c] = 1.0f;
+    gamma = 1.0f;
+    offset = 0.0f;
   }
 
   const bool replace = s.n_points < N;
@@ -271,9 +280,12 @@ void fill_item(Loader* L, Batch& b, int slot, int scene_idx,
     out[0] = x[0];
     out[1] = x[1];
     out[2] = x[2];
-    out[3] = c[0] * t[0];
-    out[4] = c[1] * t[1];
-    out[5] = c[2] * t[2];
+    for (int ch = 0; ch < 3; ++ch) {
+      float v = c[ch] * t[ch] * gain[ch];
+      v = std::min(std::max(v, 0.0f), 1.0f);
+      v = std::pow(v, gamma) + offset;
+      out[3 + ch] = std::min(std::max(v, 0.0f), 1.0f);
+    }
     sc[i] = std::tanh(s.score[p]);
     lb[i] = lab;
   }

@@ -260,7 +260,17 @@ def regnet_losses(out: REGNetOutput, pc_score_gt: jax.Array,
                   with_stage2: bool = True,
                   with_stage3: bool = True
                   ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Joint loss = SN + GRN + RN (train.py:369-371)."""
+    """Joint loss = SN + GRN + RN (train.py:369-371).
+
+    In slab mode the model's per-point score comes out in slab order
+    (models/regnet.py); `out.point_order` carries the permutation, and the
+    per-point GT is permuted to match (GT has no gradient — one thin [B,N]
+    gather).  Every other loss input is value-addressed (center xyz vs GT
+    grasp xyz) and therefore order-agnostic.
+    """
+    if out.point_order is not None:
+        pc_score_gt = jnp.take_along_axis(pc_score_gt, out.point_order,
+                                          axis=1)
     l1 = score_loss(out.score, pc_score_gt)
     metrics = {"stage1_loss_score": l1}
     total = l1

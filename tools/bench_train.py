@@ -31,6 +31,13 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 network compute (params stay f32)")
+    p.add_argument("--slab-cell", type=float, default=0.0,
+                   help="sorted-slab geometry kernels in the train "
+                        "forward (0.04 = the A/B'd serving setting)")
+    p.add_argument("--fps-groups", type=int, default=1,
+                   help="stratified approximate FPS (model.fps_groups)")
     args = p.parse_args()
 
     import jax
@@ -45,7 +52,12 @@ def main():
     from regnet_for_3d_grasping_tpu.train import trainer
     from regnet_for_3d_grasping_tpu.utils.config import train_config
 
-    cfg = train_config()
+    overrides = {}
+    if args.slab_cell > 0.0:
+        overrides["region.slab_cell"] = args.slab_cell
+    if args.fps_groups > 1:
+        overrides["model.fps_groups"] = args.fps_groups
+    cfg = train_config(**overrides)
     if args.remat:
         import dataclasses
         cfg = dataclasses.replace(
@@ -74,7 +86,7 @@ def main():
     import jax.numpy as jnp
     batch = jax.tree.map(jnp.asarray, build(range(args.batch)))
 
-    model = REGNet(cfg)
+    model = REGNet(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     opt = trainer.make_optimizer(cfg, steps_per_epoch=100)
     state = trainer.init_state(model, cfg, opt, batch.pc)
     step = trainer.make_train_step(model, opt, cfg, stage="refine")
@@ -89,10 +101,14 @@ def main():
     _ = float(metrics["loss_total"])
     dt = (time.perf_counter() - t0) / args.iters
 
+    tags = [t for t, on in (
+        ("remat", args.remat), ("bf16", args.bf16),
+        (f"slab{args.slab_cell}", args.slab_cell > 0),
+        (f"fpsG{args.fps_groups}", args.fps_groups > 1)) if on]
     print(json.dumps({
         "metric": f"train clouds/sec (3-stage step, batch {args.batch}, "
                   f"25.6k pts, center_num 64"
-                  f"{', remat' if args.remat else ''})",
+                  + (", " + ",".join(tags) if tags else "") + ")",
         "value": round(args.batch / dt, 4),
         "unit": "clouds/sec",
         "step_ms": round(dt * 1000, 2),

@@ -46,20 +46,26 @@ def main():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verify-only", action="store_true")
+    p.add_argument("--suite-version", type=int, default=0,
+                   help="0 = current SUITE_VERSION; 1 = the iid-color "
+                        "suite rounds 1-3 were gated on")
+    p.add_argument("--out-suffix", default="",
+                   help="metrics filename suffix, e.g. '_exact'")
     args = p.parse_args()
 
     from regnet_for_3d_grasping_tpu.data.benchmark_suite import (
         SUITE_VERSION, generate_scene, load_fingerprints, suite_specs,
         verify_scene)
 
-    specs = suite_specs()
-    fps = load_fingerprints()
-    assert fps["suite_version"] == SUITE_VERSION
+    suite_version = args.suite_version or SUITE_VERSION
+    specs = suite_specs(suite_version)
+    fps = load_fingerprints(suite_version)
+    assert fps["suite_version"] == suite_version
 
     if args.verify_only:
         for spec in specs:
             verify_scene(spec, generate_scene(spec), fps)
-        print(f"suite v{SUITE_VERSION}: all {len(specs)} scene "
+        print(f"suite v{suite_version}: all {len(specs)} scene "
               f"fingerprints verified")
         return
 
@@ -148,7 +154,7 @@ def main():
               f"{int(recs['stage3_score'].formal)} grasps")
 
     result = {
-        "suite_version": SUITE_VERSION,
+        "suite_version": suite_version,
         "round": args.round,
         "checkpoint": os.path.relpath(args.checkpoint, REPO)
         if os.path.isabs(args.checkpoint) else args.checkpoint,
@@ -166,7 +172,8 @@ def main():
     }
     if args.round:
         path = os.path.join(REPO, "docs", "evidence",
-                            f"metrics_r{args.round:02d}.json")
+                            f"metrics_r{args.round:02d}"
+                            f"{args.out_suffix}.json")
         with open(path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
         print(f"wrote {path}")
