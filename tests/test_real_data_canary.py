@@ -1,0 +1,66 @@
+"""Real-data canary (VERDICT r3 item 3): the reference's committed real
+Kinect grasp sets (test_file/real_data_predict/000{0,1}_cloud.p,
+produced by the reference's own trained model via test.py:143-148) must
+keep passing OUR evaluator's view-collision funnel at the pinned rates.
+
+This is pure deterministic geometry — no model forward — so it pins the
+evaluator's reference-compatibility: a regression in the collision
+checker, the grasp decode, or the table test moves these counts.
+Computed numbers live in docs/evidence/real_data_r4.json
+(tools/real_data_evidence.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REF_DIR = "/root/reference/test_file/real_data_predict"
+EVIDENCE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "evidence", "real_data_r4.json")
+
+# exact funnel counts of the reference's grasp_stage3 sets under our
+# evaluator (test-path settings: require_close_region=False, table +1)
+PINNED = {
+    "0000_cloud": {"above_table": 416, "close_points": 555,
+                   "back_ok": 555, "finger_ok": 546,
+                   "close_region_ok": 513, "survive": 416, "total": 555},
+    "0001_cloud": {"above_table": 147, "close_points": 147,
+                   "back_ok": 147, "finger_ok": 147,
+                   "close_region_ok": 147, "survive": 147, "total": 147},
+}
+TOL = 3   # radius-boundary slack between backends
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                    reason="reference real-data goldens not mounted")
+class TestReferenceFunnelCanary:
+    @pytest.mark.parametrize("name", sorted(PINNED))
+    def test_reference_stage3_funnel(self, name):
+        import pickle
+
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(EVIDENCE),
+                                        "..", ".."))
+        from tools.real_data_evidence import reference_funnel
+
+        with open(os.path.join(REF_DIR, name + ".p"), "rb") as f:
+            golden = pickle.load(f)
+        got = reference_funnel(np.asarray(golden["points"], np.float32),
+                               np.asarray(golden["grasp_stage3"],
+                                          np.float32))
+        for key, want in PINNED[name].items():
+            assert abs(got[key] - want) <= TOL, (name, key, got[key], want)
+
+    def test_committed_artifact_matches(self):
+        """The committed evidence file's reference funnels equal the
+        pinned counts and the 'ours' entries exist for both clouds."""
+        with open(EVIDENCE) as f:
+            report = json.load(f)
+        for name, want in PINNED.items():
+            entry = report["clouds"][name]
+            got = entry["funnel"]["reference_grasp_stage3"]
+            for key, val in want.items():
+                assert abs(got[key] - val) <= TOL, (name, key)
+            assert "ours_grasp_stage2" in entry["funnel"]
+            assert entry["counts"]["ours_stage2"] > 0
