@@ -31,6 +31,14 @@ ITERS = 40   # amortize axon-relay dispatch jitter (10 iters showed +/-3%)
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1,
+                   help="clouds per dispatch (throughput A/B; the "
+                        "driver's headline stays the default)")
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -55,9 +63,10 @@ def main():
                           "region.center_fps_groups": 8})
     model = REGNet(cfg, dtype=jnp.bfloat16)
 
-    scene = make_synthetic_scene(0, num_view=cfg.region.num_points)
-    pc = np.c_[scene["view_cloud"],
-               scene["view_cloud_color"]].astype(np.float32)[None]
+    scenes = [make_synthetic_scene(i, num_view=cfg.region.num_points)
+              for i in range(args.batch)]
+    pc = np.stack([np.c_[s["view_cloud"], s["view_cloud_color"]]
+                   for s in scenes]).astype(np.float32)
     pc = jnp.asarray(pc)
 
     variables = jax.jit(lambda: model.init(
@@ -76,10 +85,12 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    clouds_per_sec = ITERS / dt
+    clouds_per_sec = ITERS * args.batch / dt
+    batch_tag = f", batch {args.batch}" if args.batch > 1 else ""
     print(json.dumps({
         "metric": "clouds/sec end-to-end SN->GRN->RN inference @25.6k pts "
-                  "(center_num=4000, bf16+slab+fpsG8 serving config)",
+                  f"(center_num=4000, bf16+slab+fpsG8 serving config"
+                  f"{batch_tag})",
         "value": round(clouds_per_sec, 4),
         "unit": "clouds/sec",
         "dtype": "bf16",

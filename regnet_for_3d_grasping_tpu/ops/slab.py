@@ -991,8 +991,8 @@ def _gmax_slab_kernel(win: int, spw: int, with_argmax: bool,
             cover = lax.dot_general(onehot, ones,
                                     dimension_numbers=contract0,
                                     preferred_element_type=jnp.float32)
-            picked = jnp.where(cover > 0.5, picked.astype(dtype),
-                               jnp.asarray(-_BIG, dtype))
+            picked = jnp.where(cover > 0.5, picked,
+                               jnp.asarray(-_BIG, jnp.float32))
             if with_argmax:
                 w_iota = lax.broadcasted_iota(jnp.int32, (win, 1), 0)
                 w_hi = (w_iota // 256).astype(jnp.bfloat16)
@@ -1005,12 +1005,16 @@ def _gmax_slab_kernel(win: int, spw: int, with_argmax: bool,
                                      preferred_element_type=jnp.float32)
                 rowid = (hi.astype(jnp.int32) * 256
                          + lo.astype(jnp.int32) + wbase)     # [TS, 1]
-                prev = out_ref[...]
+                # compare in f32: Mosaic can't lower bf16 cmpf on v5e, and
+                # picked is exact in f32 (one-hot MXU pick of bf16 rows), so
+                # the downcast on store is lossless.
+                prev = out_ref[...].astype(jnp.float32)
                 upd = picked > prev
-                out_ref[...] = jnp.where(upd, picked, prev)
+                out_ref[...] = jnp.where(upd, picked, prev).astype(dtype)
                 win_ref[...] = jnp.where(upd, rowid, win_ref[...])
             else:
-                out_ref[...] = jnp.maximum(out_ref[...], picked)
+                acc = jnp.maximum(out_ref[...].astype(jnp.float32), picked)
+                out_ref[...] = acc.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "spw", "with_argmax",

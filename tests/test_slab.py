@@ -231,6 +231,33 @@ class TestGatherMaxSlab:
         np.testing.assert_allclose(np.asarray(g).sum(1),
                                    np.asarray(g_ref).sum(1), atol=1e-4)
 
+    def test_bf16_argmax_path(self):
+        """bf16 + with_argmax — the training-forward combination.  The
+        kernel's running max/compare runs in f32 in-register (Mosaic has
+        no bf16 cmpf on v5e) and downcasts only on store; pooled values
+        and winner routing must match the plain-gather reference."""
+        feat, idx, sel, off = self._setup(jnp.bfloat16)
+        pooled, winner = slab.gather_max_slab(
+            feat, idx, off, slab.GROUP_WIN, slab.GROUP_SPW,
+            with_argmax=True, interpret=True)
+        ref = jnp.max(group_points(feat, idx), axis=-2)
+        m = np.asarray(sel)
+        np.testing.assert_array_equal(np.asarray(pooled)[m],
+                                      np.asarray(ref)[m])
+        # every winner index must point at a row holding the max value
+        w = np.asarray(winner)                      # [B, S, C]
+        fv = np.asarray(feat)                       # [B, N, C]
+        b_ix = np.arange(w.shape[0])[:, None, None]
+        c_ix = np.arange(w.shape[2])[None, None, :]
+        routed = fv[b_ix, w, c_ix]
+        np.testing.assert_array_equal(routed[m], np.asarray(ref)[m])
+        # bf16 grads flow through the custom VJP without dtype errors
+        g = jax.grad(lambda f: slab.gather_max_slab_vjp(
+            f, idx, off, slab.GROUP_WIN, slab.GROUP_SPW, True)
+            .astype(jnp.float32).sum())(feat)
+        assert g.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
 
 class TestBallQuerySlab:
     """SA-layer slab ball query (win=128/spw=2, without-replacement)."""

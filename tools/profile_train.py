@@ -52,6 +52,11 @@ def main():
                    help="bfloat16 network compute (training experiment; "
                         "quality-gate on the frozen suite before "
                         "adopting)")
+    p.add_argument("--slab-cell", type=float, default=0.0,
+                   help="sorted-slab geometry kernels in the train "
+                        "forward (0.04 = the A/B'd serving setting)")
+    p.add_argument("--fps-groups", type=int, default=1,
+                   help="stratified approximate FPS (model.fps_groups)")
     args = p.parse_args()
 
     import jax
@@ -71,10 +76,16 @@ def main():
     from regnet_for_3d_grasping_tpu.geometry.gt import match_centers_to_gt
     from regnet_for_3d_grasping_tpu.utils.config import train_config
 
-    cfg = train_config()
+    overrides = {}
+    if args.slab_cell > 0.0:
+        overrides["region.slab_cell"] = args.slab_cell
+    if args.fps_groups > 1:
+        overrides["model.fps_groups"] = args.fps_groups
+    cfg = train_config(**overrides)
     dtype = jnp.bfloat16 if args.bf16 else None
     print(f"device={jax.devices()[0]}  batch={args.batch}  "
-          f"dtype={'bf16' if args.bf16 else 'f32'}")
+          f"dtype={'bf16' if args.bf16 else 'f32'}  "
+          f"slab={args.slab_cell}  fpsG={args.fps_groups}")
 
     scenes = [make_synthetic_scene(i, num_view=cfg.region.num_points)
               for i in range(2)]
