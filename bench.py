@@ -37,6 +37,12 @@ def main():
     p.add_argument("--batch", type=int, default=1,
                    help="clouds per dispatch (throughput A/B; the "
                         "driver's headline stays the default)")
+    p.add_argument("--fps-groups", type=int, default=8,
+                   help="stratified-FPS group count A/B (default 8 = "
+                        "the quality-gated serving config)")
+    p.add_argument("--slab-cell", type=float, default=0.04,
+                   help="sorted-slab cell size A/B (0 = exact full "
+                        "scans; default 0.04 = the serving config)")
     args = p.parse_args()
 
     import jax
@@ -58,9 +64,9 @@ def main():
     # (docs/evidence/metrics_r03.json): stage-3 VGR 0.966/0.972
     # (sparse/clutter) vs 0.933/0.947 for the exact-semantics config
     # (docs/evidence/metrics_r03_exact.json).
-    cfg = infer_config(**{"region.slab_cell": 0.04,
-                          "model.fps_groups": 8,
-                          "region.center_fps_groups": 8})
+    cfg = infer_config(**{"region.slab_cell": args.slab_cell,
+                          "model.fps_groups": args.fps_groups,
+                          "region.center_fps_groups": args.fps_groups})
     model = REGNet(cfg, dtype=jnp.bfloat16)
 
     scenes = [make_synthetic_scene(i, num_view=cfg.region.num_points)
@@ -87,10 +93,11 @@ def main():
 
     clouds_per_sec = ITERS * args.batch / dt
     batch_tag = f", batch {args.batch}" if args.batch > 1 else ""
+    slab_tag = (f"slab{args.slab_cell:g}+" if args.slab_cell else "exact+")
     print(json.dumps({
         "metric": "clouds/sec end-to-end SN->GRN->RN inference @25.6k pts "
-                  f"(center_num=4000, bf16+slab+fpsG8 serving config"
-                  f"{batch_tag})",
+                  f"(center_num=4000, bf16+{slab_tag}"
+                  f"fpsG{args.fps_groups} serving config{batch_tag})",
         "value": round(clouds_per_sec, 4),
         "unit": "clouds/sec",
         "dtype": "bf16",

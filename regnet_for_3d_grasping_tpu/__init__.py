@@ -17,6 +17,18 @@ Design principles (vs. the CUDA/torch reference):
     (shard_map + psum) over ICI.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Some TPU plugins register themselves in a way that overrides the
+    # JAX_PLATFORMS env var; honoring it here makes `JAX_PLATFORMS=cpu`
+    # authoritative for every entrypoint (the CLI subprocess tests rely on
+    # this — without it they would silently attach to the real accelerator
+    # and contend with a concurrently running training job).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from regnet_for_3d_grasping_tpu.utils.config import (  # noqa: F401
     GripperConfig,
     ModelConfig,

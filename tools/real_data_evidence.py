@@ -99,6 +99,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--weights", default="weights/r3_retrain_e100.npz")
     p.add_argument("--out-dir", default="docs/evidence")
+    p.add_argument("--out-name", default="real_data_r4",
+                   help="basename for the .json/.ply artifacts (use a "
+                        "distinct name to keep earlier evidence, e.g. "
+                        "the r3-weights collapse record)")
     p.add_argument("--fast", action="store_true",
                    help="serving config (bf16+slab+fpsG8) for the forward")
     args = p.parse_args()
@@ -165,7 +169,7 @@ def main():
         print(name, json.dumps(entry["funnel"], indent=1))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    out_json = os.path.join(args.out_dir, "real_data_r4.json")
+    out_json = os.path.join(args.out_dir, args.out_name + ".json")
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", out_json)
@@ -176,7 +180,7 @@ def main():
     ply = show_grasp(
         os.path.join(work, "real_data_predict", name + ".p"),
         stage="grasp_stage3",
-        out_path=os.path.join(args.out_dir, "real_data_r4.ply"))
+        out_path=os.path.join(args.out_dir, args.out_name + ".ply"))
     print("wrote", ply)
 
 
