@@ -52,6 +52,28 @@ class TestReferenceFunnelCanary:
         for key, want in PINNED[name].items():
             assert abs(got[key] - want) <= TOL, (name, key, got[key], want)
 
+    def test_retrained_artifact_invariants(self):
+        """The round-4 retrained evidence (r4_coherent weights on the
+        reference's real Kinect clouds) must keep its qualitative wins
+        over the round-3 collapse: score spread across bins, non-empty
+        stage-3 output, and surviving grasps on both clouds."""
+        path = EVIDENCE.replace("real_data_r4.json",
+                                "real_data_r4_retrained.json")
+        with open(path) as f:
+            report = json.load(f)
+        for name in PINNED:
+            entry = report["clouds"][name]
+            hist = entry["score_hist_ours"]
+            nonzero = sum(1 for h in hist if h > 0)
+            assert nonzero >= 6, (name, hist)   # r3 collapse: 1 bin
+            assert entry["counts"]["ours_stage3"] > 0, name
+            funnel3 = entry["funnel"]["ours_grasp_stage3"]
+            assert funnel3["survive"] > 0, (name, funnel3)
+            # reference funnel must stay pinned in this artifact too
+            got = entry["funnel"]["reference_grasp_stage3"]
+            for key, val in PINNED[name].items():
+                assert abs(got[key] - val) <= TOL, (name, key)
+
     def test_committed_artifact_matches(self):
         """The committed evidence file's reference funnels equal the
         pinned counts and the 'ours' entries exist for both clouds."""
