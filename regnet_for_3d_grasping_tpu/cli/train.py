@@ -94,6 +94,16 @@ def build_parser():
                    help="stratified approximate FPS in the TRAIN forward "
                         "(model.fps_groups; validation forwards stay "
                         "exact)")
+    p.add_argument("--geom-aug", type=float, default=0.0,
+                   help="geometric training augmentation severity "
+                        "(data/augment.py): Kinect sensor noise on the "
+                        "view cloud + one global z-rotation and xyz "
+                        "translation per scene (view and GT frames move "
+                        "together). 0 = off; 1.0 = published Kinect v1 "
+                        "noise magnitudes, 10%% dropout, full rotation, "
+                        "cm-scale translation. Counters the noiseless "
+                        "exact-z=0.75 synthetic distribution "
+                        "(docs/evidence/real_data_r4_retrained.json)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax.profiler trace of steps 3-8 of the "
                         "first epoch (replaces the reference's ad-hoc "
@@ -375,12 +385,24 @@ def main(argv=None):
             seed=args.seed)
         print(f"native loader over {len(rsc)} cached scenes")
 
+    geom_rng = np.random.RandomState(args.seed + 7919)
+
+    def maybe_geom_aug(batch):
+        if not args.geom_aug:
+            return batch
+        from regnet_for_3d_grasping_tpu.data.augment import augment_batch
+        from regnet_for_3d_grasping_tpu.eval.evaluator import CAMERA_POSE
+        cams = np.stack([CAMERA_POSE[view_num_from_path(pp)]
+                         for pp in batch.paths])
+        return augment_batch(batch, geom_rng, args.geom_aug, cams)
+
     def epoch_batches(epoch):
         if native is not None:
             for _ in range(steps_per_epoch):
-                yield native.next_batch()
+                yield maybe_geom_aug(native.next_batch())
         else:
-            yield from train_ds.batches(batch_size, seed=epoch)
+            for b in train_ds.batches(batch_size, seed=epoch):
+                yield maybe_geom_aug(b)
 
     profiling = False
     for epoch in range(resume_epoch, args.epoch):
