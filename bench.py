@@ -93,7 +93,14 @@ def main():
 
     clouds_per_sec = ITERS * args.batch / dt
     batch_tag = f", batch {args.batch}" if args.batch > 1 else ""
-    slab_tag = (f"slab{args.slab_cell:g}+" if args.slab_cell else "exact+")
+    # "exact" only when BOTH approximations are off (slab grid and
+    # stratified FPS) — fpsG>1 alone is still an approximation
+    if args.slab_cell:
+        slab_tag = f"slab{args.slab_cell:g}+"
+    elif args.fps_groups == 1:
+        slab_tag = "exact+"
+    else:
+        slab_tag = "slab-off+"
     print(json.dumps({
         "metric": "clouds/sec end-to-end SN->GRN->RN inference @25.6k pts "
                   f"(center_num=4000, bf16+{slab_tag}"

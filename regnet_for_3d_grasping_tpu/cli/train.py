@@ -385,9 +385,7 @@ def main(argv=None):
             seed=args.seed)
         print(f"native loader over {len(rsc)} cached scenes")
 
-    geom_rng = np.random.RandomState(args.seed + 7919)
-
-    def maybe_geom_aug(batch):
+    def maybe_geom_aug(batch, geom_rng):
         if not args.geom_aug:
             return batch
         from regnet_for_3d_grasping_tpu.data.augment import augment_batch
@@ -397,12 +395,15 @@ def main(argv=None):
         return augment_batch(batch, geom_rng, args.geom_aug, cams)
 
     def epoch_batches(epoch):
+        # per-epoch RNG: a --resume run replays the same augmentation
+        # stream as an uninterrupted run from the same seed
+        geom_rng = np.random.RandomState(args.seed + 7919 + epoch)
         if native is not None:
             for _ in range(steps_per_epoch):
-                yield maybe_geom_aug(native.next_batch())
+                yield maybe_geom_aug(native.next_batch(), geom_rng)
         else:
             for b in train_ds.batches(batch_size, seed=epoch):
-                yield maybe_geom_aug(b)
+                yield maybe_geom_aug(b, geom_rng)
 
     profiling = False
     for epoch in range(resume_epoch, args.epoch):

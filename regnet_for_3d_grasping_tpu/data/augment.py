@@ -71,8 +71,14 @@ def kinect_corrupt(view: np.ndarray, cam: np.ndarray,
         # perpendicular to the ray.
         sigma_l = 0.000815 * rr * lateral
         t1 = np.cross(ray, np.array([0.0, 0.0, 1.0]))
+        n1 = np.linalg.norm(t1, axis=1, keepdims=True)
+        # rays near ±z make cross(ray, z) vanish — fall back to the x
+        # axis there so vertical returns still get lateral jitter
+        t1_alt = np.cross(ray, np.array([1.0, 0.0, 0.0]))
+        t1 = np.where(n1 < 1e-6, t1_alt, t1)
         t1 /= np.maximum(np.linalg.norm(t1, axis=1, keepdims=True), 1e-9)
         t2 = np.cross(ray, t1)
+        t2 /= np.maximum(np.linalg.norm(t2, axis=1, keepdims=True), 1e-9)
         pts = pts + t1 * (rng.randn(len(pts), 1) * sigma_l[:, None]) \
                   + t2 * (rng.randn(len(pts), 1) * sigma_l[:, None])
     if quant:

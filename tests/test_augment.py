@@ -151,9 +151,13 @@ def test_augment_batch_table_height_varies():
 
 def test_cli_flag_wires_augmentation(tmp_path):
     """--geom-aug drives the batch hook in cli/train.py (smoke, tiny)."""
+    import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
     r = subprocess.run(
         [sys.executable, "-m", "regnet_for_3d_grasping_tpu.cli.train",
          "--mode", "pretrain_score", "--tiny", "--epoch", "1",
@@ -161,5 +165,5 @@ def test_cli_flag_wires_augmentation(tmp_path):
          "--geom-aug", "1.0", "--data-path", str(tmp_path / "data"),
          "--model-path", str(tmp_path / "m"),
          "--log-path", str(tmp_path / "l")],
-        capture_output=True, text=True, timeout=900)
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
