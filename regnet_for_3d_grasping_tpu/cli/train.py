@@ -63,6 +63,16 @@ def build_parser():
     p.add_argument("--synthetic-scenes", type=int, default=0,
                    help="generate N synthetic scenes under data-path "
                         "first (no real dataset available)")
+    p.add_argument("--scene-layout", type=str, default="origin",
+                   choices=["origin", "randomized"],
+                   help="synthetic scene layout distribution "
+                        "(data/synthetic.py): 'origin' = r1-r4 canonical "
+                        "table at z=0.75 centered on the origin; "
+                        "'randomized' = per-scene table height/extent/"
+                        "offset/yaw, real table-point fractions, floors "
+                        "and ungraspable distractors — the measured "
+                        "layout stats of the reference's committed real "
+                        "and virtual clouds (tools/probe_layout.py)")
     p.add_argument("--eval-grasps", action="store_true",
                    help="run the geometric VGR evaluator during "
                         "validation epochs (slower)")
@@ -213,7 +223,8 @@ def main(argv=None):
 
     if args.synthetic_scenes:
         write_synthetic_dataset(args.data_path, args.synthetic_scenes,
-                                num_view=args.num_points)
+                                num_view=args.num_points,
+                                layout=args.scene_layout)
     stage = MODE_STAGE[args.mode]
     is_train = args.mode in ("train", "pretrain_score", "pretrain_region")
 
@@ -311,7 +322,7 @@ def main(argv=None):
                 recs = evaluate_scenes_sharded(
                     eval_mesh, [it[0] for it in sel],
                     [it[1] for it in sel], [it[2] for it in sel],
-                    g.table_height, [it[3] for it in sel], w, g,
+                    [it[5] for it in sel], [it[3] for it in sel], w, g,
                     cfg.eval)
                 for r in recs:
                     records[stage_name] = records[stage_name].add(r)
@@ -342,15 +353,18 @@ def main(argv=None):
                     # utils.py:261-268,293); constant here but exercises
                     # the array plumbing end-to-end
                     depths = np.full(len(grasps), g.depth, np.float32)
+                    # randomized-layout scenes carry their own table z
+                    # (data/synthetic.py layout kwarg)
+                    tz = float(data.get("table_height", g.table_height))
                     if eval_mesh is None:
                         rec = evaluate_scene_grasps(
-                            data, grasps, view, g.table_height, depths,
+                            data, grasps, view, tz, depths,
                             float(batch.width[0]), g, cfg.eval)
                         records[stage_name] = records[stage_name].add(rec)
                     else:
                         pending[stage_name].append(
                             (data, grasps, view, depths,
-                             float(batch.width[0])))
+                             float(batch.width[0]), tz))
                         if len(pending[stage_name]) >= \
                                 eval_mesh.devices.size:
                             flush(stage_name)

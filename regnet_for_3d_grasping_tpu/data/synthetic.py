@@ -90,13 +90,41 @@ def _sample_cylinder(rng, center, radius, height, n):
 # --------------------------------------------------------------------------
 # object placement (clusters with near-contact gaps)
 
-def _place_objects(rng, num_objects):
-    """Sample object descriptors; clustered placement allows contact."""
+def _place_objects(rng, num_objects, distractors=0):
+    """Sample object descriptors; clustered placement allows contact.
+
+    `distractors` appends that many UNGRASPABLE objects (boxes/spheres
+    wider than the gripper opening on every axis) — the candidate
+    generator skips them automatically, so their points carry score 0.
+    Real scenes contain plenty of too-big objects; a score head that has
+    never seen one rates any raised surface as graspable."""
     objs = []
     n_clusters = 1 if num_objects <= 3 else rng.randint(1, 3)
     anchors = rng.uniform(-0.18, 0.18, (n_clusters, 2))
     placed = []   # (xy, bound_radius)
-    for i in range(num_objects):
+    for i in range(num_objects + distractors):
+        big = i >= num_objects
+        if big:
+            if rng.rand() < 0.5:
+                size = rng.uniform(0.09, 0.20, 3)
+                size[2] = rng.uniform(0.04, 0.22)
+                bound = float(np.linalg.norm(size[:2]) / 2)
+                kind, cz = "box", TABLE_HEIGHT + size[2] / 2
+                desc = {"size": size}
+            else:
+                r = rng.uniform(0.05, 0.09)
+                kind, bound, cz = "sphere", r, TABLE_HEIGHT + r
+                desc = {"radius": r}
+            anchor = rng.uniform(-0.22, 0.22, 2)
+            for _ in range(40):
+                xy = anchor + rng.uniform(-0.1, 0.1, 2)
+                if all(np.linalg.norm(xy - p) >= b + bound - 0.005
+                       for p, b in placed) and np.all(np.abs(xy) < 0.34):
+                    break
+            placed.append((xy, bound))
+            desc.update(kind=kind, center=np.array([xy[0], xy[1], cz]))
+            objs.append(desc)
+            continue
         kind = rng.choice(["sphere", "box", "cylinder"])
         if kind == "sphere":
             r = rng.uniform(0.02, 0.035)
@@ -130,6 +158,17 @@ def _place_objects(rng, num_objects):
         desc.update(kind=kind, center=np.array([xy[0], xy[1], cz]))
         objs.append(desc)
     return objs
+
+
+def _object_area(obj) -> float:
+    """Approximate surface area, for area-proportional point budgets."""
+    if obj["kind"] == "sphere":
+        return float(4 * np.pi * obj["radius"] ** 2)
+    if obj["kind"] == "box":
+        a, b, c = obj["size"]
+        return float(2 * (a * b + b * c + c * a))
+    r, h = obj["radius"], obj["height"]
+    return float(2 * np.pi * r * h + np.pi * r ** 2)
 
 
 def _object_points(rng, obj, n):
@@ -324,7 +363,16 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
                          num_objects: int | None = None,
                          scene_multiple: int = 4,
                          view_index: int | None = None,
-                         color_mode: str = "iid") -> dict:
+                         color_mode: str = "iid",
+                         layout: str = "origin",
+                         obj_frac: float | None = None,
+                         table_extent=None,
+                         table_z: float | None = None,
+                         xy_offset=None,
+                         yaw: float | None = None,
+                         floor_frac: float | None = None,
+                         floor_drop: float | None = None,
+                         distractors: int | None = None) -> dict:
     """Build one scene dict in the reference pickle schema.
 
     color_mode:
@@ -337,6 +385,32 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
         committed real Kinect clouds (+0.23 global brightness alone is
         enough — docs/evidence/real_data_r4.json diagnosis), so training
         data uses this mode from round 4 on.
+
+    layout (round 5 — the real-data layout gap):
+      * "origin" — the r1-r4 distribution: table plane exactly at
+        z=0.75 spanning ±0.35 centered on the origin, ~50% of view
+        points on objects, no floor.  Byte-identical to earlier rounds
+        for default kwargs (the frozen-suite fingerprints pin it).
+      * "randomized" — matches the committed real Kinect clouds and the
+        reference's own virtual scenes, which this distribution was far
+        from: real/reference clouds are 82-94% TABLE points (ours ~50%),
+        tables sit at z 0.49-0.76 (ours: exactly 0.75), workspaces are
+        offset from the origin by up to half a meter (test.py:114-118
+        crops to x[-0.4,0.26] y[0.2,0.65]; ours: centered), and real
+        scenes carry below-table background returns (5% of 0000_cloud)
+        plus ungraspable objects.  PointNet++ consumes ABSOLUTE xyz, so
+        none of that is invariant.  Draws per-scene: object point share
+        U[0.08,0.45], table half-extents U[0.30,0.55]², table z
+        U[0.45,0.80], workspace offset U[-0.35,0.35]², yaw U[0,2π),
+        floor points at table-U[0.25,0.9] for 50% of scenes, 0-2
+        distractor objects.  Geometry/GT are generated in the canonical
+        origin frame (validation math untouched) then rigid-transformed;
+        the scene dict gains a "table_height" key consumed by the
+        trainer's evaluator.
+
+    Explicit layout kwargs (obj_frac, table_extent, table_z, xy_offset,
+    yaw, floor_frac, floor_drop, distractors) override the draw — used
+    by tools/probe_layout.py for single-factor attribution.
     """
     rng = np.random.RandomState(seed)
     if num_objects is None:
@@ -346,21 +420,72 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
     cam = _CAMERA_POSE[view_index]
     gripper, ecfg = GripperConfig(), EvalConfig()
 
+    if layout == "randomized":
+        draw = {
+            "obj_frac": float(rng.uniform(0.08, 0.45)),
+            "table_extent": rng.uniform(0.30, 0.55, 2),
+            "table_z": float(rng.uniform(0.45, 0.80)),
+            "xy_offset": rng.uniform(-0.35, 0.35, 2),
+            "yaw": float(rng.uniform(0.0, 2 * np.pi)),
+            "floor_frac": (float(rng.uniform(0.02, 0.08))
+                           if rng.rand() < 0.5 else 0.0),
+            "floor_drop": float(rng.uniform(0.25, 0.9)),
+            "distractors": int(rng.randint(0, 3)),
+        }
+    else:
+        draw = {}
+    if obj_frac is None:
+        obj_frac = draw.get("obj_frac", 0.6)
+    if table_extent is None:
+        table_extent = draw.get("table_extent", (0.35, 0.35))
+    if table_z is None:
+        table_z = draw.get("table_z", TABLE_HEIGHT)
+    if xy_offset is None:
+        xy_offset = draw.get("xy_offset", (0.0, 0.0))
+    if yaw is None:
+        yaw = draw.get("yaw", 0.0)
+    if floor_frac is None:
+        floor_frac = draw.get("floor_frac", 0.0)
+    if floor_drop is None:
+        floor_drop = draw.get("floor_drop", 0.45)
+    if distractors is None:
+        distractors = draw.get("distractors", 0)
+    ext_x, ext_y = float(table_extent[0]), float(table_extent[1])
+    n_floor = int(num_view * floor_frac)
+
     for attempt in range(4):
-        objs = _place_objects(rng, max(num_objects - attempt, 2))
+        objs = _place_objects(rng, max(num_objects - attempt, 2),
+                              distractors=distractors)
 
         # dense surface samples (2x the view budget; occlusion culls ~40%)
         n_raw = num_view * 2
-        n_obj_pts = int(n_raw * 0.6) // len(objs)
+        n_obj_total = int(n_raw * obj_frac)
+        if distractors or layout == "randomized":
+            # allocate per-object points ~ surface area (a 20 cm
+            # distractor box must not be sampled as sparsely as a 3 cm
+            # sphere); the origin layout keeps the legacy equal split so
+            # the frozen-suite fingerprints stay valid
+            areas = np.array([_object_area(o) for o in objs])
+            shares = np.maximum((areas / areas.sum()) * n_obj_total, 32)
+            n_obj_pts_list = shares.astype(int)
+        else:
+            n_obj_pts_list = np.full(len(objs),
+                                     n_obj_total // len(objs))
         pts_list, nrm_list, lbl_list = [], [], []
         for i, obj in enumerate(objs):
-            p, nv = _object_points(rng, obj, n_obj_pts)
+            p, nv = _object_points(rng, obj, int(n_obj_pts_list[i]))
             pts_list.append(p)
             nrm_list.append(nv)
             lbl_list.append(np.full(len(p), i + 1))
         n_table = n_raw - sum(len(p) for p in pts_list)
-        table = np.c_[rng.uniform(-0.35, 0.35, (n_table, 2)),
-                      np.full(n_table, TABLE_HEIGHT)]
+        if (ext_x, ext_y) == (0.35, 0.35):
+            # legacy call kept bit-exact for the frozen-suite fingerprints
+            table_xy = rng.uniform(-0.35, 0.35, (n_table, 2))
+        else:
+            table_xy = rng.uniform(0.0, 1.0, (n_table, 2)) \
+                * np.array([2 * ext_x, 2 * ext_y]) \
+                - np.array([ext_x, ext_y])
+        table = np.c_[table_xy, np.full(n_table, TABLE_HEIGHT)]
         pts_list.append(table)
         nrm_list.append(np.tile([0.0, 0.0, 1.0], (n_table, 1)))
         lbl_list.append(np.zeros(n_table))
@@ -371,7 +496,8 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
 
         vis = _visible_mask(all_pts, cam)
         sel = np.flatnonzero(vis)
-        sel = rng.choice(sel, num_view, replace=len(sel) < num_view)
+        n_sel = num_view - n_floor
+        sel = rng.choice(sel, n_sel, replace=len(sel) < n_sel)
         view, view_nrm = all_pts[sel], all_nrm[sel]
         label = all_lbl[sel]
 
@@ -388,6 +514,25 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
             break
         # over-cluttered scene: retry with fewer objects
 
+    # below-table background returns (floor / clutter beyond the table
+    # edge — 5% of the reference's real 0000_cloud sits 0.85 m below the
+    # table plane); label 0, graspability 0
+    if n_floor:
+        fxy = np.empty((0, 2))
+        while len(fxy) < n_floor:
+            cand = rng.uniform(-1.0, 1.0, (n_floor * 3, 2)) \
+                * np.array([ext_x + 0.35, ext_y + 0.35])
+            outside = (np.abs(cand[:, 0]) > ext_x * 0.9) \
+                | (np.abs(cand[:, 1]) > ext_y * 0.9)
+            fxy = np.concatenate([fxy, cand[outside]])
+        fxy = fxy[:n_floor]
+        fz = TABLE_HEIGHT - floor_drop + rng.randn(n_floor) * 0.01
+        floor_pts = np.c_[fxy, fz].astype(np.float32)
+        view = np.concatenate([view, floor_pts])
+        view_nrm = np.concatenate(
+            [view_nrm, np.tile([0.0, 0.0, 1.0], (n_floor, 1))])
+        label = np.concatenate([label, np.zeros(n_floor, np.float32)])
+
     # graspability: falloff to the nearest GT closing-region centroid
     # (raw range [0, 2]; the dataset applies tanh like scoredataset.py:80)
     if len(frames):
@@ -402,8 +547,14 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
         base = rng.rand(int(label.max()) + 1, 3).astype(np.float32)
         color = base[label.astype(np.int64)]
         color = color + rng.randn(num_view, 3).astype(np.float32) * 0.06
-        color = color + np.float32(rng.uniform(-0.15, 0.35))
+        light = np.float32(rng.uniform(-0.15, 0.35))
+        color = color + light
         color = np.clip(color, 0.0, 1.0)
+        if n_floor:
+            fb = rng.rand(3).astype(np.float32)
+            color[-n_floor:] = np.clip(
+                fb + rng.randn(n_floor, 3).astype(np.float32) * 0.06
+                + light, 0.0, 1.0)
     else:
         color = rng.rand(num_view, 3).astype(np.float32)
 
@@ -412,7 +563,25 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
     scene = all_pts[idx] + rng.randn(n_scene, 3).astype(np.float32) * 1e-4
     normal = all_nrm[idx]    # exact analytic surface normals
 
+    # rigid re-staging: rotate about z then translate; generated in the
+    # canonical origin frame so the GT validation math above is
+    # layout-independent
+    if yaw != 0.0 or tuple(xy_offset) != (0.0, 0.0) \
+            or table_z != TABLE_HEIGHT:
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]],
+                      np.float32)
+        t = np.float32([xy_offset[0], xy_offset[1],
+                        table_z - TABLE_HEIGHT])
+        view = view @ Rz.T + t
+        scene = scene @ Rz.T + t
+        normal = normal @ Rz.T
+        if len(frames):
+            frames = np.einsum("ij,kjl->kil", Rz, frames)
+            frames[:, :, 3] += t
+
     return {
+        "table_height": float(table_z),
         "view_cloud": view,
         "view_cloud_color": color,
         "view_cloud_score": score,
@@ -429,12 +598,16 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
 
 def write_synthetic_dataset(path: str, num_scenes: int = 8,
                             num_view: int = 12000, seed: int = 0,
-                            color_mode: str = "coherent") -> list:
+                            color_mode: str = "coherent",
+                            layout: str = "origin") -> list:
     """Write `num_scenes` scene pickles named like the reference data
     (``{scene}_view_{view}.p``) under ``path/training_data``.
 
     Training data defaults to coherent colors (make_synthetic_scene
-    docstring — iid-uniform colors train a color-brittle score head)."""
+    docstring — iid-uniform colors train a color-brittle score head).
+    Round-5 training data uses ``layout="randomized"`` (see
+    make_synthetic_scene — the origin layout is half a meter and a
+    50-percentage-point table fraction away from the real clouds)."""
     out_dir = os.path.join(path, "training_data")
     os.makedirs(out_dir, exist_ok=True)
     paths = []
@@ -442,7 +615,8 @@ def write_synthetic_dataset(path: str, num_scenes: int = 8,
         view_index = i % len(_CAMERA_POSE)
         scene = make_synthetic_scene(seed + i, num_view=num_view,
                                      view_index=view_index,
-                                     color_mode=color_mode)
+                                     color_mode=color_mode,
+                                     layout=layout)
         p = os.path.join(out_dir, f"{i:04d}_view_{view_index}.p")
         with open(p, "wb") as f:
             pickle.dump(scene, f)

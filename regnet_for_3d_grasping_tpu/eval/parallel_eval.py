@@ -75,15 +75,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def make_scene_eval_body(table_height: float, gripper: GripperConfig,
+def make_scene_eval_body(gripper: GripperConfig,
                          cfg: EvalConfig, with_normals: bool):
-    """Jittable per-shard body: stacked scene arrays -> per-scene counts."""
+    """Jittable per-shard body: stacked scene arrays -> per-scene counts.
 
-    def body(view_pts, scene_pts, scene_n, camera, grasps, depths):
+    The table height rides along as a per-scene scalar input (rather
+    than a closure constant) so mixed-table-height batches — the
+    round-5 `layout="randomized"` training distribution — still
+    evaluate in one sharded call."""
+
+    def body(view_pts, scene_pts, scene_n, camera, grasps, depths,
+             table_heights):
         def per_scene(args):
-            vp, sp, sn, cam, g, dp = args
+            vp, sp, sn, cam, g, dp, th = args
             view_ok = check_grasps_view(
-                vp, g, table_height, dp, gripper, cfg,
+                vp, g, th, dp, gripper, cfg,
                 require_close_region=True, table_sign=-1.0)
             if not with_normals:
                 sn_local = estimate_normals(
@@ -101,14 +107,14 @@ def make_scene_eval_body(table_height: float, gripper: GripperConfig,
 
         return lax.map(per_scene,
                        (view_pts, scene_pts, scene_n, camera, grasps,
-                        depths))
+                        depths, table_heights))
 
     return body
 
 
 def evaluate_scenes_sharded(
         mesh, scenes: Sequence[dict], grasps_list: Sequence[np.ndarray],
-        view_nums: Sequence[int], table_height: float,
+        view_nums: Sequence[int], table_height,
         depths_list: Sequence[np.ndarray], width: float,
         gripper: Optional[GripperConfig] = None,
         cfg: Optional[EvalConfig] = None,
@@ -119,6 +125,8 @@ def evaluate_scenes_sharded(
     Equivalent (tested in tests/test_parallel_eval.py) to calling
     ``eval/evaluator.evaluate_scene_grasps`` per scene, with one uniform
     `width` per call — group scenes by width upstream when mixed.
+    `table_height` may be a scalar or a per-scene sequence (randomized
+    layouts put every scene's table at a different z).
 
     Returns one EvalRecord per input scene (same order).
     """
@@ -155,14 +163,17 @@ def evaluate_scenes_sharded(
         gs.append(gp)
         dps.append(dpp)
 
+    ths = list(np.broadcast_to(
+        np.asarray(table_height, np.float32), (S,)))
+
     Sp = _round_up(S, n_dev)
-    for arr in (vps, sps, sns, cams, gs, dps):
+    for arr in (vps, sps, sns, cams, gs, dps, ths):
         arr.extend([arr[-1]] * (Sp - S))
 
     stack = [jnp.asarray(np.stack(a)) for a in (vps, sps, sns, cams, gs,
-                                                dps)]
+                                                dps, ths)]
 
-    body = make_scene_eval_body(table_height, gripper, cfg, with_normals)
+    body = make_scene_eval_body(gripper, cfg, with_normals)
     fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=tuple(P(axis_name) for _ in stack),

@@ -364,3 +364,60 @@ class TestPointcloudOps:
         assert m[100:].all()             # spread points all kept
         # representative is the lowest index in its voxel
         assert m[0]
+
+
+class TestRandomizedLayout:
+    """Round-5 layout randomization (data/synthetic.py layout kwarg):
+    the re-staging must keep GT grasps valid at the scene's own table
+    height, and the origin layout must stay bit-identical (the frozen
+    suite fingerprints separately pin the latter)."""
+
+    def test_schema_and_composition(self):
+        s = make_synthetic_scene(77, num_view=6000, layout="randomized",
+                                 color_mode="coherent")
+        assert "table_height" in s
+        tz = s["table_height"]
+        assert 0.44 <= tz <= 0.81
+        v = s["view_cloud"]
+        assert v.shape == (6000, 3)
+        # table plane sits at the declared height
+        table_band = np.abs(v[:, 2] - tz) < 0.012
+        assert table_band.mean() > 0.4
+        assert len(s["select_frame"]) >= 4
+        for key in ("view_cloud_color", "view_cloud_score",
+                    "view_cloud_label"):
+            assert len(s[key]) == 6000
+
+    def test_gt_grasps_survive_at_scene_table_height(self):
+        """Rigid re-staging + per-scene table height preserve GT grasp
+        validity under the real evaluator."""
+        for seed in (78, 79):
+            s = make_synthetic_scene(seed, num_view=8000,
+                                     layout="randomized")
+            frames = s["select_frame"]
+            grasps = np.asarray(frames_to_grasps(
+                jnp.asarray(frames[:, :3, :3]),
+                jnp.asarray(frames[:, :3, 3]),
+                jnp.asarray(s["select_antipodal_score"][:, None])))
+            rec = evaluate_scene_grasps(
+                s, grasps, 0, s["table_height"], DEPTH, GRIPPER.width,
+                GRIPPER, ECFG)
+            # generation-time validation used the same geometric rules in
+            # the canonical frame; the restaged scene must agree for a
+            # clear majority (grid-vs-exact normal estimation differs)
+            assert rec.nocoll_view >= 0.5 * len(grasps), (seed, rec)
+
+    def test_origin_layout_has_no_table_height_drift(self):
+        a = make_synthetic_scene(80, num_view=2000)
+        assert a["table_height"] == 0.75
+
+    def test_explicit_factors(self):
+        s = make_synthetic_scene(81, num_view=4000, table_z=0.60,
+                                 xy_offset=(0.2, -0.1), yaw=0.7,
+                                 obj_frac=0.15, floor_frac=0.05,
+                                 distractors=1)
+        v = s["view_cloud"]
+        assert s["table_height"] == 0.60
+        assert (np.abs(v[:, 2] - 0.60) < 0.012).mean() > 0.5
+        # floor points present well below the table
+        assert (v[:, 2] < 0.45).mean() > 0.02

@@ -112,3 +112,36 @@ def test_sharded_without_precomputed_normals():
         assert b.formal == a.formal
         np.testing.assert_allclose(b.score_sum, a.score_sum,
                                    rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_per_scene_table_heights():
+    """Randomized-layout scenes put every table at a different z; the
+    sharded evaluator takes per-scene heights and must match the
+    sequential evaluator at each scene's own height."""
+    cfg = tiny_config()
+    g = cfg.gripper
+    rng = np.random.default_rng(2)
+    scenes, grasps_list, depths_list, view_nums, heights = [], [], [], [], []
+    for i, n in enumerate([6, 14, 9]):
+        s = make_synthetic_scene(500 + i, num_view=cfg.region.num_points,
+                                 layout="randomized")
+        scenes.append(s)
+        heights.append(float(s["table_height"]))
+        gr = _scene_grasps(s, rng, n)
+        grasps_list.append(gr)
+        depths_list.append(np.full(n, g.depth, np.float32))
+        view_nums.append(i % 4)
+    assert len(set(heights)) == len(heights)   # genuinely mixed
+
+    seq = [evaluate_scene_grasps(
+        s, gr, vn, th, dp, g.width, g, cfg.eval)
+        for s, gr, vn, th, dp in zip(scenes, grasps_list, view_nums,
+                                     heights, depths_list)]
+    par = evaluate_scenes_sharded(
+        make_mesh(), scenes, grasps_list, view_nums, heights,
+        depths_list, g.width, g, cfg.eval)
+    for i, (a, b) in enumerate(zip(seq, par)):
+        np.testing.assert_allclose(
+            np.asarray(tuple(b)), np.asarray(tuple(a)),
+            rtol=1e-6, atol=1e-6, err_msg=f"scene {i}")
