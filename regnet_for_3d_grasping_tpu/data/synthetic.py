@@ -422,7 +422,7 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
 
     if layout == "randomized":
         draw = {
-            "obj_frac": float(rng.uniform(0.08, 0.45)),
+            "obj_frac": float(rng.uniform(0.08, 0.55)),
             "table_extent": rng.uniform(0.30, 0.55, 2),
             "table_z": float(rng.uniform(0.45, 0.80)),
             "xy_offset": rng.uniform(-0.35, 0.35, 2),
