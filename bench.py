@@ -43,6 +43,12 @@ def main():
     p.add_argument("--slab-cell", type=float, default=0.04,
                    help="sorted-slab cell size A/B (0 = exact full "
                         "scans; default 0.04 = the serving config)")
+    p.add_argument("--no-train", action="store_true",
+                   help="skip the training-throughput field (the "
+                        "inference headline is unaffected)")
+    p.add_argument("--train-batch", type=int, default=15,
+                   help="batch for the training-throughput field (15 = "
+                        "the reference's config of record, README.md:60)")
     args = p.parse_args()
 
     import jax
@@ -101,7 +107,8 @@ def main():
         slab_tag = "exact+"
     else:
         slab_tag = "slab-off+"
-    print(json.dumps({
+
+    record = {
         "metric": "clouds/sec end-to-end SN->GRN->RN inference @25.6k pts "
                   f"(center_num=4000, bf16+{slab_tag}"
                   f"fpsG{args.fps_groups} serving config{batch_tag})",
@@ -109,7 +116,100 @@ def main():
         "unit": "clouds/sec",
         "dtype": "bf16",
         "vs_baseline": round(clouds_per_sec / REF_CLOUDS_PER_SEC, 4),
-    }))
+    }
+
+    # MFU framing (VERDICT r4 item 4): analytic MXU work per cloud
+    # (tools/flops.py) x measured rate / v5e bf16 peak.  The cascade is
+    # geometry(VPU)-heavy by design, so low MFU is expected — the field
+    # makes the framing auditable round-over-round.
+    try:
+        import importlib.util as _ilu
+        import os as _os
+        spec = _ilu.spec_from_file_location(
+            "flops", _os.path.join(_os.path.dirname(
+                _os.path.abspath(__file__)), "tools", "flops.py"))
+        flops = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(flops)
+        macs = (sum(flops.backbone_macs(cfg).values())
+                + sum(flops.head_macs(cfg).values()))
+        record["gflop_per_cloud"] = round(2 * macs / 1e9, 1)
+        record["mfu_bf16_v5e_pct"] = round(
+            100 * 2 * macs * clouds_per_sec / 197e12, 2)
+    except Exception:                               # pragma: no cover
+        pass
+
+    # training throughput (VERDICT r4 item 5): full jitted 3-stage train
+    # step (forward+backward+Adam) at the reference's batch-15 config of
+    # record, same serving approximations as the r4+ training runs
+    if not args.no_train:
+        try:
+            record["train_clouds_per_sec"] = _train_rate(
+                args.train_batch, args.slab_cell, args.fps_groups)
+            record["train_batch"] = args.train_batch
+        except Exception as e:                      # pragma: no cover
+            import sys
+            print(f"train-rate measurement failed: {e!r}",
+                  file=sys.stderr)
+
+    print(json.dumps(record))
+
+
+def _train_rate(batch: int, slab_cell: float, fps_groups: int,
+                iters: int = 8) -> float:
+    """Measured clouds/sec of the jitted train step (bf16 + the serving
+    geometry approximations, matching the r4/r5 training runs of
+    record)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from regnet_for_3d_grasping_tpu.data import make_synthetic_scene
+    from regnet_for_3d_grasping_tpu.data.dataset import pad_gt_grasps
+    from regnet_for_3d_grasping_tpu.models import REGNet
+    from regnet_for_3d_grasping_tpu.train import trainer
+    from regnet_for_3d_grasping_tpu.utils.config import train_config
+
+    overrides = {}
+    if slab_cell > 0.0:
+        overrides["region.slab_cell"] = slab_cell
+    if fps_groups > 1:
+        overrides["model.fps_groups"] = fps_groups
+    cfg = train_config(**overrides)
+
+    scenes = [make_synthetic_scene(50 + i,
+                                   num_view=cfg.region.num_points)
+              for i in range(batch)]
+    gts = [pad_gt_grasps(s, cfg.region.max_gt_grasps) for s in scenes]
+    dbatch = trainer.DeviceBatch(
+        pc=jnp.asarray(np.stack(
+            [np.c_[s["view_cloud"], s["view_cloud_color"]]
+             for s in scenes]).astype(np.float32)),
+        score=jnp.asarray(np.stack(
+            [np.tanh(s["view_cloud_score"]) for s in scenes]
+        ).astype(np.float32)),
+        gt_frames=jnp.asarray(np.stack([g[0] for g in gts])),
+        gt_scores=jnp.asarray(np.stack([g[1] for g in gts])),
+        gt_valid=jnp.asarray(np.stack([g[2] for g in gts])),
+    )
+
+    model = REGNet(cfg, dtype=jnp.bfloat16)
+    optimizer = trainer.make_optimizer(cfg, steps_per_epoch=100)
+    state = trainer.init_state(model, cfg, optimizer, dbatch.pc)
+    step = trainer.make_train_step(model, optimizer, cfg, stage="refine")
+
+    key = jax.random.PRNGKey(0)
+    for i in range(2):                               # compile + warm
+        state, metrics = step(state, dbatch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, dbatch,
+                              jax.random.fold_in(key, 10 + i))
+    float(metrics["loss_total"])                     # scalar sync
+    dt = time.perf_counter() - t0
+    return round(iters * batch / dt, 4)
 
 
 def _is_transient(exc: BaseException) -> bool:

@@ -7,9 +7,18 @@ against the committed SHA-256 fingerprints, and writes ONE metrics file
 diff, not a narrative (r2 review weak item 3; the reference's analogue
 is its committed test_file goldens, test.py:143-148).
 
+With ``--real-clouds`` the SAME configured forward also runs the two
+real Kinect clouds the reference commits
+(test_file/real_data_predict/000{0,1}_cloud.p) and records their
+view-collision survival funnels (eval/collision.view_check_funnel)
+next to the synthetic metrics — so every approximation knob
+(slab cell, fps groups, bf16, accept margin) is gated on BOTH
+distributions in one command (VERDICT r4 item 3).
+
 Usage:
   python tools/benchmark_eval.py --checkpoint assets/models/r2_jitter \
-      --round 3 [--epoch 99] [--center-num 4000] [--bf16] [--cpu]
+      --round 3 [--epoch 99] [--center-num 4000] [--bf16] [--cpu] \
+      [--real-clouds]
   python tools/benchmark_eval.py --verify-only     # fingerprint check
 """
 
@@ -46,6 +55,13 @@ def main():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verify-only", action="store_true")
+    p.add_argument("--real-clouds", action="store_true",
+                   help="also run the reference's two committed real "
+                        "Kinect clouds through the same configured "
+                        "forward and record their survival funnels")
+    p.add_argument("--real-only", action="store_true",
+                   help="skip the synthetic suite (quick real-cloud "
+                        "check of a config); implies --real-clouds")
     p.add_argument("--suite-version", type=int, default=0,
                    help="0 = current SUITE_VERSION; 1 = the iid-color "
                         "suite rounds 1-3 were gated on")
@@ -113,7 +129,7 @@ def main():
     per_scene = {}
     totals = {r: {s: EvalRecord() for s in stage_keys}
               for r in ("sparse", "clutter")}
-    for i, spec in enumerate(specs):
+    for i, spec in enumerate(specs if not args.real_only else []):
         scene = generate_scene(spec)
         verify_scene(spec, scene, fps)
         pc = jnp.asarray(np.c_[scene["view_cloud"],
@@ -153,6 +169,20 @@ def main():
               f"{recs['stage3_score'].score:.4f} over "
               f"{int(recs['stage3_score'].formal)} grasps")
 
+    real = None
+    if args.real_clouds or args.real_only:
+        real = _real_cloud_funnels(fwd, variables, cfg)
+        for name, entry in real.items():
+            o3 = entry["funnel"].get("ours_grasp_stage3", {})
+            print(f"[real {name}] stage3 survive "
+                  f"{o3.get('survive', 0)}/{o3.get('total', 0)}  "
+                  f"stage2 survive "
+                  f"{entry['funnel']['ours_grasp_stage2'].get('survive', 0)}"
+                  f"/{entry['funnel']['ours_grasp_stage2'].get('total', 0)}"
+                  f"  reference "
+                  f"{entry['funnel']['reference_grasp_stage3']['survive']}"
+                  f"/{entry['funnel']['reference_grasp_stage3']['total']}")
+
     result = {
         "suite_version": suite_version,
         "round": args.round,
@@ -170,6 +200,8 @@ def main():
         "summary": summary,
         "per_scene": per_scene,
     }
+    if real is not None:
+        result["real_clouds"] = real
     if args.round:
         path = os.path.join(REPO, "docs", "evidence",
                             f"metrics_r{args.round:02d}"
@@ -179,6 +211,66 @@ def main():
         print(f"wrote {path}")
     else:
         print(json.dumps(result["summary"], indent=1))
+
+
+def _real_cloud_funnels(fwd, variables, cfg) -> dict:
+    """Run the committed real Kinect clouds through the configured
+    forward; return their view-collision survival funnels.
+
+    Input preprocessing matches cli/infer.py's real-data path applied to
+    the golden pickles (the stored ``points`` are the post-crop
+    global-frame cloud, test.py:114-121): color noise, then a seeded
+    resample to the model's point budget.  The funnel matches
+    tools/real_data_evidence.py (table 0.75, table_sign=+1,
+    require_close_region=False — the reference's eval_test settings)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from regnet_for_3d_grasping_tpu.eval.collision import view_check_funnel
+    from regnet_for_3d_grasping_tpu.utils.config import (
+        EvalConfig, GripperConfig)
+    from regnet_for_3d_grasping_tpu.utils.export import extract_grasp_sets
+
+    ref_dir = "/root/reference/test_file/real_data_predict"
+    g = GripperConfig()
+
+    def funnel(points, grasps):
+        masks = view_check_funnel(
+            jnp.asarray(points[:, :3], jnp.float32),
+            jnp.asarray(np.asarray(grasps)[:, :8], jnp.float32),
+            g.table_height, g.depth, g, EvalConfig(), table_sign=+1.0)
+        out = {k: int(np.asarray(v).sum()) for k, v in masks.items()}
+        out["total"] = int(len(grasps))
+        return out
+
+    report = {}
+    for ci, name in enumerate(("0000_cloud", "0001_cloud")):
+        with open(os.path.join(ref_dir, name + ".p"), "rb") as f:
+            golden = pickle.load(f)
+        pts = np.asarray(golden["points"], np.float32)
+        cols = np.asarray(golden["colors"], np.float32)
+
+        rng = np.random.RandomState(1)
+        cols = cols * (1 - rng.rand(3) / 5)          # utils.py:426-431
+        sel = rng.choice(len(pts), cfg.region.num_points,
+                         replace=len(pts) < cfg.region.num_points)
+        pc = np.c_[pts[sel], cols[sel]].astype(np.float32)[None]
+
+        out = fwd(variables, jnp.asarray(pc), jax.random.PRNGKey(9900 + ci))
+        sets = extract_grasp_sets(out)[0]
+
+        entry = {"funnel": {}}
+        for key in ("grasp_stage2", "grasp_stage3"):
+            if len(sets[key]):
+                entry["funnel"]["ours_" + key] = funnel(pts, sets[key])
+            else:
+                entry["funnel"]["ours_" + key] = {"survive": 0, "total": 0}
+        entry["funnel"]["reference_grasp_stage3"] = funnel(
+            pts, golden["grasp_stage3"])
+        report[name] = entry
+    return report
 
 
 if __name__ == "__main__":
