@@ -43,6 +43,12 @@ def main():
     p.add_argument("--slab-cell", type=float, default=0.04,
                    help="sorted-slab cell size A/B (0 = exact full "
                         "scans; default 0.04 = the serving config)")
+    p.add_argument("--center-select", default="fps",
+                   choices=["fps", "bucket"],
+                   help="center-selection A/B: 'bucket' replaces the "
+                        "sequential stratified FPS with a one-pass "
+                        "stratified best-score pick (quality-gate before "
+                        "adopting)")
     p.add_argument("--no-train", action="store_true",
                    help="skip the training-throughput field (the "
                         "inference headline is unaffected)")
@@ -72,7 +78,8 @@ def main():
     # (docs/evidence/metrics_r03_exact.json).
     cfg = infer_config(**{"region.slab_cell": args.slab_cell,
                           "model.fps_groups": args.fps_groups,
-                          "region.center_fps_groups": args.fps_groups})
+                          "region.center_fps_groups": args.fps_groups,
+                          "region.center_select": args.center_select})
     model = REGNet(cfg, dtype=jnp.bfloat16)
 
     scenes = [make_synthetic_scene(i, num_view=cfg.region.num_points)
@@ -108,10 +115,12 @@ def main():
     else:
         slab_tag = "slab-off+"
 
+    cs_tag = "+bucketCS" if args.center_select == "bucket" else ""
     record = {
         "metric": "clouds/sec end-to-end SN->GRN->RN inference @25.6k pts "
                   f"(center_num=4000, bf16+{slab_tag}"
-                  f"fpsG{args.fps_groups} serving config{batch_tag})",
+                  f"fpsG{args.fps_groups}{cs_tag} serving config"
+                  f"{batch_tag})",
         "value": round(clouds_per_sec, 4),
         "unit": "clouds/sec",
         "dtype": "bf16",

@@ -64,6 +64,12 @@ def build_parser():
     p.add_argument("--fps-groups", type=int, default=-1,
                    help="override stratified-FPS groups (1 = exact; "
                         "default: 8 with --fast else 1)")
+    p.add_argument("--center-select", default="fps",
+                   choices=["fps", "bucket"],
+                   help="center-selection algorithm "
+                        "(region.center_select): 'bucket' = one-pass "
+                        "stratified best-score pick, no sequential FPS "
+                        "loop (quality-gated serving option)")
     return p
 
 
@@ -127,6 +133,7 @@ def main(argv=None):
         "region.slab_cell": slab_cell,
         "region.center_fps_groups": fps_groups,
         "model.fps_groups": fps_groups,
+        "region.center_select": args.center_select,
     })
     dtype = jnp.bfloat16 if (args.bf16 or args.fast) else None
     model = REGNet(cfg, dtype=dtype)

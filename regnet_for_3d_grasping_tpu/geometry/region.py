@@ -35,7 +35,8 @@ from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
 
 def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
                          score_thre: float,
-                         groups: int = 1) -> Tuple[jax.Array, jax.Array]:
+                         groups: int = 1,
+                         method: str = "fps") -> Tuple[jax.Array, jax.Array]:
     """Pick grasp-center candidates among high-graspability points.
 
     Args:
@@ -43,17 +44,28 @@ def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
       score: [B, N] predicted graspability in [0, 1].
       center_num: number of candidates (static).
       score_thre: positivity threshold.
+      method: "fps" (reference semantics, get_regiondataset.py:354-434)
+        or "bucket" (serving option — one-pass stratified pick over
+        positives, highest score per index bucket; no sequential loop).
 
     Returns:
       centers [B, center_num, C], index [B, center_num].
 
     Fallback semantics match the reference: fewer positives than requested
     -> positives are repeated; zero positives -> sample from all points.
-    Both are handled inside masked FPS (ops/fps.py).
+    Both are handled inside masked FPS (ops/fps.py) / by widening the
+    bucket mask to all points for all-negative rows.
     """
     positive = score > score_thre
-    idx = ops.farthest_point_sample(pc[..., :3], center_num, mask=positive,
-                                    groups=groups)
+    if method == "bucket":
+        # zero-positive rows fall back to all points (reference
+        # _select_score_center's random-sampling branch)
+        any_pos = positive.any(axis=-1, keepdims=True)
+        mask = positive | ~any_pos
+        idx, _, _ = ops.bucket_choice(mask, center_num, score=score)
+    else:
+        idx = ops.farthest_point_sample(pc[..., :3], center_num,
+                                        mask=positive, groups=groups)
     return ops.gather_points(pc, idx), idx
 
 

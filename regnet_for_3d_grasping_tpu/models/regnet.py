@@ -147,7 +147,8 @@ class REGNet(nn.Module):
         # --- GRN: candidate centers + two region scales ------------------
         centers, center_idx = select_score_centers(
             pc, score, region.center_num, region.score_thre,
-            groups=region.center_fps_groups)
+            groups=region.center_fps_groups,
+            method=region.center_select)
         if sc is not None:
             # sort centers by x so each 128-center tile spans a narrow
             # slab (locality only — correctness is tile-independent)

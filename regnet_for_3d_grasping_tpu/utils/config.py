@@ -124,6 +124,15 @@ class RegionConfig:
     # `groups`): 1 = exact (default); quality-gate changes like
     # ModelConfig.fps_groups
     center_fps_groups: int = 1
+    # Center-selection algorithm: "fps" (reference semantics —
+    # threshold + farthest-point spread over positives,
+    # get_regiondataset.py:354-434) or "bucket" (serving option:
+    # ops.bucket_choice one-pass stratified pick over positives, best
+    # score per bucket — removes the center_num-step sequential FPS
+    # loop entirely; at the 4000-center inference preset the FPS spread
+    # matters far less than at the training 64.  Quality-gate like the
+    # other approximation knobs: frozen suite + real-cloud funnels).
+    center_select: str = "fps"
     # Sorted-slab geometry kernels (ops/slab.py): sort the cloud once by
     # (x-cell, random-within-cell) and scan only each query tile's slab
     # in the grouping/crop kernels.  0.0 = off (full scans, default);

@@ -122,6 +122,22 @@ class TestCenterSelection:
             jnp.asarray(pc), jnp.asarray(score), 8, 0.5)
         assert np.asarray(idx).shape == (1, 8)  # falls back to all points
 
+    def test_bucket_method_selects_positives(self, rng):
+        """Serving center_select='bucket': one-pass stratified pick —
+        positives only, gathered centers consistent, all-negative rows
+        fall back to the full cloud (reference fallback semantics)."""
+        pc = rng.randn(2, 96, 6).astype(np.float32)
+        score = np.zeros((2, 96), np.float32)
+        score[0, 20:70] = 0.9            # row 0 has positives
+        centers, idx = geometry.select_score_centers(
+            jnp.asarray(pc), jnp.asarray(score), 16, 0.5,
+            method="bucket")
+        idx = np.asarray(idx)
+        assert ((idx[0] >= 20) & (idx[0] < 70)).all()
+        assert (idx[1] >= 0).all() and (idx[1] < 96).all()  # fallback row
+        np.testing.assert_array_equal(
+            np.asarray(centers), pc[np.arange(2)[:, None], idx])
+
 
 class TestGrouping:
     def test_groups_within_radius(self, rng):

@@ -52,6 +52,10 @@ def main():
     p.add_argument("--slab-cell", type=float, default=0.0,
                    help="sorted-slab kernels cell size (0 = full scans); "
                         "quality gate for ops/slab.py")
+    p.add_argument("--center-select", default="fps",
+                   choices=["fps", "bucket"],
+                   help="center-selection algorithm under test "
+                        "(region.center_select)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verify-only", action="store_true")
@@ -108,6 +112,7 @@ def main():
         "model.fps_groups": args.fps_groups,
         "region.center_fps_groups": args.center_fps_groups,
         "region.slab_cell": args.slab_cell,
+        "region.center_select": args.center_select,
     })
     model = REGNet(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     fwd = jax.jit(lambda v, x, k: model.apply(
@@ -194,6 +199,7 @@ def main():
                    "fps_groups": args.fps_groups,
                    "center_fps_groups": args.center_fps_groups,
                    "slab_cell": args.slab_cell,
+                   "center_select": args.center_select,
                    "dtype": "bf16" if args.bf16 else "f32",
                    "normals": "precomputed(scene_normal)",
                    "backend": jax.default_backend()},
