@@ -12,9 +12,17 @@ tau on the host:
 reporting VGR / antipodal / accepted-count per tau so a margin can be
 picked for a precision target and passed to `cli.infer --accept-margin`.
 
+With ``--real-clouds`` the same margin sweep additionally runs on the
+reference's two committed real Kinect clouds
+(test_file/real_data_predict): every refined proposal is funneled
+through the view-collision check (eval_test settings) once, and the
+sweep reports survivors / accepted / precision per margin — the
+calibration VERDICT r4 item 2 asks to ship in the serving config.
+
 Usage:
   python tools/calibrate_accept.py --data-path DIR --checkpoint DIR \
-      [--center-num 4000] [--margins -2,-1,0,1,2] [--max-scenes 10]
+      [--center-num 4000] [--margins -2,-1,0,1,2] [--max-scenes 10] \
+      [--real-clouds]
 """
 
 from __future__ import annotations
@@ -41,6 +49,12 @@ def main():
     p.add_argument("--max-scenes", type=int, default=10)
     p.add_argument("--split", type=str, default="validate")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--real-clouds", action="store_true",
+                   help="also sweep the margin on the reference's two "
+                        "committed real Kinect clouds (view-funnel "
+                        "precision per margin)")
+    p.add_argument("--fast", action="store_true",
+                   help="serving config (bf16+slab+fpsG8)")
     args = p.parse_args()
 
     import jax
@@ -61,12 +75,17 @@ def main():
     if args.tiny:
         cfg = tiny_config()
     else:
-        cfg = infer_config(**{
+        over = {
             "region.center_num": args.center_num,
             "region.group_num_more": args.group_num_more,
             "region.num_points": args.num_points,
-        })
-    model = REGNet(cfg)
+        }
+        if args.fast:
+            over.update({"model.fps_groups": 8,
+                         "region.center_fps_groups": 8,
+                         "region.slab_cell": 0.04})
+        cfg = infer_config(**over)
+    model = REGNet(cfg, dtype=jnp.bfloat16 if args.fast else None)
     margins = [float(m) for m in args.margins.split(",")]
 
     ds = GraspDataset(args.data_path, args.split, cfg.region.num_points,
@@ -88,9 +107,13 @@ def main():
             break
         x = jnp.asarray(batch.pc)
         if variables is None:
-            restored, epoch = ckpt.restore_checkpoint(args.checkpoint)
-            variables = {"params": restored["params"],
-                         "batch_stats": restored["batch_stats"]}
+            if args.checkpoint.endswith(".npz"):
+                variables, epoch = ckpt.load_weights_npz(args.checkpoint)
+                epoch += 1
+            else:
+                restored, epoch = ckpt.restore_checkpoint(args.checkpoint)
+                variables = {"params": restored["params"],
+                             "batch_stats": restored["batch_stats"]}
             print(f"checkpoint epoch {epoch - 1}; "
                   f"center_num={cfg.region.center_num}; "
                   f"{min(len(ds), args.max_scenes)} scenes")
@@ -113,8 +136,9 @@ def main():
             view = 0
         # ONE collision pass over every refined candidate; margins only
         # re-aggregate the per-grasp results on the host
+        tz = float(data.get("table_height", g.table_height))
         _, _, _, view_ok, scene_ok, anti = eval_validate(
-            data, final[cand_idx], view, g.table_height, g.depth,
+            data, final[cand_idx], view, tz, g.depth,
             float(batch.width[0]), g, cfg.eval)
         d = delta[cand_idx]
         for m in margins:
@@ -142,6 +166,60 @@ def main():
     else:
         print("\nno margin met VGR>=0.95 with >=5 grasps/scene; "
               "inspect the table")
+
+    if args.real_clouds:
+        _sweep_real_clouds(fwd, variables, cfg, margins)
+
+
+def _sweep_real_clouds(fwd, variables, cfg, margins):
+    """Margin -> (accepted, survivors, precision) on the reference's two
+    committed real Kinect clouds, using the view-collision funnel
+    (eval_test settings — no dense scene cloud exists for real data)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from regnet_for_3d_grasping_tpu.eval.collision import view_check_funnel
+    from regnet_for_3d_grasping_tpu.utils.config import (
+        EvalConfig, GripperConfig)
+
+    ref_dir = "/root/reference/test_file/real_data_predict"
+    g = GripperConfig()
+    for ci, name in enumerate(("0000_cloud", "0001_cloud")):
+        with open(os.path.join(ref_dir, name + ".p"), "rb") as f:
+            golden = pickle.load(f)
+        pts = np.asarray(golden["points"], np.float32)
+        cols = np.asarray(golden["colors"], np.float32)
+        rng = np.random.RandomState(1)
+        cols = cols * (1 - rng.rand(3) / 5)
+        sel = rng.choice(len(pts), cfg.region.num_points,
+                         replace=len(pts) < cfg.region.num_points)
+        pc = np.c_[pts[sel], cols[sel]].astype(np.float32)[None]
+        out = fwd(variables, jnp.asarray(pc), jax.random.PRNGKey(400 + ci))
+
+        candidate = (np.asarray(out.region_valid)
+                     & np.asarray(out.crop_valid))[0]
+        logits = np.asarray(out.refine_logits)[0]
+        delta = (logits[:, 1] - logits[:, 0])[candidate]
+        final = np.asarray(out.final_grasps)[0][candidate][:, :8]
+        if not len(final):
+            print(f"\n[real {name}] no candidates")
+            continue
+        masks = view_check_funnel(
+            jnp.asarray(pts[:, :3], jnp.float32),
+            jnp.asarray(final, jnp.float32),
+            g.table_height, g.depth, g, EvalConfig(), table_sign=+1.0)
+        surv = np.asarray(masks["survive"])
+        print(f"\n[real {name}] margin sweep "
+              f"({len(final)} refined candidates)")
+        print(f"{'margin':>8} {'accepted':>9} {'survive':>8} "
+              f"{'precision':>10}")
+        for m in margins:
+            a = delta > m
+            acc_n, s_n = int(a.sum()), int((a & surv).sum())
+            prec = s_n / max(acc_n, 1)
+            print(f"{m:>8.2f} {acc_n:>9d} {s_n:>8d} {prec:>10.3f}")
 
 
 if __name__ == "__main__":
