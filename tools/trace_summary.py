@@ -118,13 +118,52 @@ def summarize(trace_dir, iters, top):
                      if ln == "XLA Modules") / 1e9
         print(f"module total: {mod_ms / iters:.3f} ms/iter")
         print(f"{'ms/iter':>8s} {'count':>6s}  op")
+        shown = top
         for (ln, nm), v in tot.most_common():
             if ln != "XLA Ops":
                 continue
-            if top <= 0:
+            if shown <= 0:
                 break
-            top -= 1
+            shown -= 1
             print(f"{v / 1e9 / iters:8.4f} {cnt[(ln, nm)]:6d}  {nm[:100]}")
+
+        # unit-category rollup: which hardware the device time sits on.
+        # Classification by HLO op kind: dot/conv = MXU systolic array;
+        # fusion/sort/reduce/scatter = VPU vector ops; tpu custom-calls =
+        # our Mosaic/Pallas kernels (VPU+VMEM by design, ops/slab.py);
+        # copy/transpose/bitcast = data movement (DMA/relayout); while =
+        # sequential loop shells (FPS) whose bodies are fused VPU work.
+        cats = collections.Counter()
+        for (ln, nm), v in tot.items():
+            if ln != "XLA Ops":
+                continue
+            n = nm.lower()
+            if "custom-call" in n or "custom_call" in n or "tpu_" in n:
+                cat = "pallas/mosaic kernels (VPU+VMEM)"
+            elif n.startswith(("dot", "convolution")) or ".dot" in n:
+                cat = "MXU (dot/conv)"
+            elif n.startswith(("copy", "transpose", "bitcast",
+                               "reshape", "dynamic-update-slice",
+                               "dynamic-slice", "concatenate", "slice")):
+                cat = "data movement (copy/relayout)"
+            elif n.startswith("sort"):
+                cat = "VPU sort"
+            elif n.startswith(("while", "conditional")):
+                cat = "loop shells (FPS/scan bodies)"
+            elif n.startswith(("all-reduce", "all-gather",
+                               "reduce-scatter", "collective")):
+                cat = "collectives (ICI)"
+            else:
+                cat = "VPU fusions/elementwise"
+            cats[cat] += v
+        dev_total = sum(cats.values())
+        if dev_total:
+            print("\nunit-category rollup (XLA Ops line):")
+            for cat, v in cats.most_common():
+                print(f"{v / 1e9 / iters:8.4f} ms/iter "
+                      f"({100 * v / dev_total:5.1f}%)  {cat}")
+            print(f"{dev_total / 1e9 / iters:8.4f} ms/iter (100.0%)  "
+                  f"device-op total")
 
 
 if __name__ == "__main__":
