@@ -90,20 +90,100 @@ def _sample_cylinder(rng, center, radius, height, n):
 # --------------------------------------------------------------------------
 # object placement (clusters with near-contact gaps)
 
-def _place_objects(rng, num_objects, distractors=0):
+def _rich_object(rng):
+    """Draw one descriptor from the extended shape library (round 5):
+    ellipsoids, two-box L-shapes and mug-like cylinder+handle composites
+    join the primitives.  Real objects are composite and curved; a model
+    trained only on spheres/boxes/upright cylinders places fingers into
+    unseen geometry (the dominant real-cloud failure is the finger-
+    collision check, docs/evidence/real_data_r4_retrained.json)."""
+    kind = rng.choice(["sphere", "box", "cylinder", "ellipsoid",
+                       "lbox", "mug"])
+    if kind == "sphere":
+        r = rng.uniform(0.02, 0.035)
+        return r, TABLE_HEIGHT + r, {"kind": kind, "radius": r}
+    if kind == "box":
+        size = rng.uniform(0.03, 0.06, 3)
+        return (float(np.linalg.norm(size[:2]) / 2),
+                TABLE_HEIGHT + size[2] / 2, {"kind": kind, "size": size})
+    if kind == "cylinder":
+        r = rng.uniform(0.015, 0.03)
+        h = rng.uniform(0.05, 0.12)
+        return r, TABLE_HEIGHT + h / 2, {"kind": kind, "radius": r,
+                                         "height": h}
+    if kind == "ellipsoid":
+        axes = np.array([rng.uniform(0.015, 0.05),
+                         rng.uniform(0.015, 0.05),
+                         rng.uniform(0.02, 0.055)])
+        return (float(np.hypot(axes[0], axes[1])),
+                TABLE_HEIGHT + axes[2], {"kind": kind, "axes": axes})
+    if kind == "lbox":
+        # two boxes on the table forming an L in plan view
+        s1 = rng.uniform(0.03, 0.07, 3)
+        s2 = np.array([rng.uniform(0.025, 0.05),
+                       rng.uniform(0.025, 0.05),
+                       rng.uniform(0.02, min(0.06, s1[2]))])
+        off = np.array([(s1[0] + s2[0]) / 2 - 0.004,
+                        (s1[1] - s2[1]) / 2 * rng.choice([-1.0, 1.0]),
+                        0.0])
+        parts = [
+            {"shape": "box", "size": s1,
+             "offset": np.array([0.0, 0.0, s1[2] / 2])},
+            {"shape": "box", "size": s2,
+             "offset": off + [0.0, 0.0, s2[2] / 2]},
+        ]
+        bound = float(np.linalg.norm(s1[:2]) / 2 + s2[0])
+        return bound, TABLE_HEIGHT, {"kind": kind, "parts": parts}
+    # mug: vertical cylinder body + thin handle box sticking out
+    rb = rng.uniform(0.025, 0.042)
+    h = rng.uniform(0.06, 0.11)
+    hx = 0.018
+    parts = [
+        {"shape": "cyl", "radius": rb, "height": h,
+         "offset": np.array([0.0, 0.0, h / 2])},
+        {"shape": "box",
+         "size": np.array([hx, 0.012, 0.5 * h]),
+         "offset": np.array([rb + hx / 2 - 0.004, 0.0, h * 0.55])},
+    ]
+    return rb + hx, TABLE_HEIGHT, {"kind": "mug", "parts": parts}
+
+
+def _place_objects(rng, num_objects, distractors=0, shape_lib="basic"):
     """Sample object descriptors; clustered placement allows contact.
 
     `distractors` appends that many UNGRASPABLE objects (boxes/spheres
     wider than the gripper opening on every axis) — the candidate
     generator skips them automatically, so their points carry score 0.
     Real scenes contain plenty of too-big objects; a score head that has
-    never seen one rates any raised surface as graspable."""
+    never seen one rates any raised surface as graspable.
+
+    `shape_lib="rich"` draws from the extended library (_rich_object);
+    "basic" keeps the r1-r4 primitives and RNG stream (fingerprinted)."""
     objs = []
     n_clusters = 1 if num_objects <= 3 else rng.randint(1, 3)
     anchors = rng.uniform(-0.18, 0.18, (n_clusters, 2))
     placed = []   # (xy, bound_radius)
     for i in range(num_objects + distractors):
         big = i >= num_objects
+        if not big and shape_lib == "rich":
+            bound, cz, desc = _rich_object(rng)
+            anchor = anchors[i % n_clusters]
+            for _ in range(40):
+                if not placed:
+                    xy = anchor + rng.uniform(-0.04, 0.04, 2)
+                else:
+                    nb_xy, nb_bound = placed[rng.randint(len(placed))]
+                    ang = rng.uniform(0, 2 * np.pi)
+                    dist = nb_bound + bound + rng.uniform(0.0, 0.03)
+                    xy = nb_xy + dist * np.array([np.cos(ang),
+                                                  np.sin(ang)])
+                if all(np.linalg.norm(xy - p) >= b + bound - 0.005
+                       for p, b in placed) and np.all(np.abs(xy) < 0.3):
+                    break
+            placed.append((xy, bound))
+            desc["center"] = np.array([xy[0], xy[1], cz])
+            objs.append(desc)
+            continue
         if big:
             if rng.rand() < 0.5:
                 size = rng.uniform(0.09, 0.20, 3)
@@ -160,6 +240,24 @@ def _place_objects(rng, num_objects, distractors=0):
     return objs
 
 
+def _sample_ellipsoid(rng, center, axes, n):
+    """Axis-aligned ellipsoid: x = center + dir*axes, normal ~ dir/axes."""
+    d = rng.randn(n, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = center + d * axes
+    nrm = d / np.asarray(axes)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pts, nrm
+
+
+def _part_area(part) -> float:
+    if part["shape"] == "box":
+        a, b, c = part["size"]
+        return float(2 * (a * b + b * c + c * a))
+    r, h = part["radius"], part["height"]
+    return float(2 * np.pi * r * h + np.pi * r ** 2)
+
+
 def _object_area(obj) -> float:
     """Approximate surface area, for area-proportional point budgets."""
     if obj["kind"] == "sphere":
@@ -167,6 +265,14 @@ def _object_area(obj) -> float:
     if obj["kind"] == "box":
         a, b, c = obj["size"]
         return float(2 * (a * b + b * c + c * a))
+    if obj["kind"] == "ellipsoid":
+        a, b, c = obj["axes"]
+        # Knud Thomsen approximation
+        p = 1.6075
+        return float(4 * np.pi * ((a**p * b**p + a**p * c**p
+                                   + b**p * c**p) / 3) ** (1 / p))
+    if obj["kind"] in ("lbox", "mug"):
+        return sum(_part_area(p) for p in obj["parts"])
     r, h = obj["radius"], obj["height"]
     return float(2 * np.pi * r * h + np.pi * r ** 2)
 
@@ -176,6 +282,22 @@ def _object_points(rng, obj, n):
         pts, nrm = _sample_sphere(rng, obj["center"], obj["radius"], n)
     elif obj["kind"] == "box":
         pts, nrm = _sample_box(rng, obj["center"], obj["size"], n)
+    elif obj["kind"] == "ellipsoid":
+        pts, nrm = _sample_ellipsoid(rng, obj["center"], obj["axes"], n)
+    elif obj["kind"] in ("lbox", "mug"):
+        areas = np.array([_part_area(p) for p in obj["parts"]])
+        shares = np.maximum((areas / areas.sum() * n).astype(int), 8)
+        ps, ns = [], []
+        for part, k in zip(obj["parts"], shares):
+            pc = np.asarray(obj["center"], np.float64) + part["offset"]
+            if part["shape"] == "box":
+                p_, n_ = _sample_box(rng, pc, part["size"], int(k))
+            else:
+                p_, n_ = _sample_cylinder(rng, pc, part["radius"],
+                                          part["height"], int(k))
+            ps.append(p_)
+            ns.append(n_)
+        pts, nrm = np.concatenate(ps), np.concatenate(ns)
     else:
         pts, nrm = _sample_cylinder(rng, obj["center"], obj["radius"],
                                     obj["height"], n)
@@ -199,6 +321,74 @@ def _frame(approach, y, base):
     return np.c_[approach, y, z, base].astype(np.float32)
 
 
+def _box_cands(rng, cands, c, size, gripper):
+    """Top-down + side grasp candidates for an axis-aligned box at
+    center `c`.  Draw order matches the original inline branch exactly
+    (origin-layout RNG stream must stay byte-stable)."""
+    depth = gripper.depth
+    open_w = gripper.width - 0.005
+    down = np.array([0.0, 0.0, -1.0])
+    top = c[2] + size[2] / 2
+    grab = min(size[2] * 0.8, 0.045)
+    for ax in (0, 1):
+        if size[ax] < open_w:
+            y = np.zeros(3)
+            y[ax] = 1.0
+            jitter = rng.uniform(-0.1, 0.1)
+            yj = _canon_y([np.cos(jitter) * y[0] - np.sin(jitter) * y[1],
+                           np.sin(jitter) * y[0] + np.cos(jitter) * y[1],
+                           0.0])
+            cands.append(_frame(
+                down, yj,
+                np.array([c[0], c[1], top + depth - grab])))
+    # side grasps: approach along -u into the +-u faces, close along
+    # the other horizontal axis
+    for ax in (0, 1):
+        other = 1 - ax
+        if size[other] >= open_w:
+            continue
+        zg = min(c[2], TABLE_HEIGHT + size[2] - 0.012)
+        zg = max(zg, TABLE_HEIGHT + gripper.half_hand_thickness + 0.004)
+        if zg > c[2] + size[2] / 2 - 0.004:
+            continue
+        grab = min(size[ax] * 0.8, 0.045)
+        for sign in (+1.0, -1.0):
+            a = np.zeros(3)
+            a[ax] = -sign
+            y = np.zeros(3)
+            y[other] = 1.0
+            face = np.asarray(c, np.float64).copy()
+            face[ax] += sign * size[ax] / 2
+            base = np.array([face[0], face[1], zg]) - (depth - grab) * a
+            cands.append(_frame(a, _canon_y(y), base))
+
+
+def _cyl_cands(rng, cands, top_down, c, r, h, gripper):
+    """Top-down + side grasp candidates for a vertical cylinder (draw
+    order identical to the original inline branch)."""
+    depth = gripper.depth
+    open_w = gripper.width - 0.005
+    top = c[2] + h / 2
+    if 2 * r < open_w:
+        top_down(top, c, min(h * 0.8, 0.045),
+                 np.linspace(-np.pi / 2, np.pi / 2, 3))
+        # side grasps at 4 azimuths, 1-2 heights
+        zlo = TABLE_HEIGHT + gripper.half_hand_thickness + 0.004
+        zhi = top - 0.008
+        if zhi > zlo:
+            grab = min(r + 0.02, 0.05)
+            for phi in rng.uniform(0, 2 * np.pi) \
+                    + np.linspace(0, 2 * np.pi, 4, endpoint=False):
+                a = np.array([-np.cos(phi), -np.sin(phi), 0.0])
+                y = np.array([-np.sin(phi), np.cos(phi), 0.0])
+                for zg in np.linspace(zlo, zhi,
+                                      2 if zhi - zlo > 0.03 else 1):
+                    near = np.array([c[0] + r * np.cos(phi),
+                                     c[1] + r * np.sin(phi), zg])
+                    base = near - (depth - grab) * a
+                    cands.append(_frame(a, _canon_y(y), base))
+
+
 def _candidate_grasps(rng, objs, gripper: GripperConfig):
     """Analytic grasp proposals; validated geometrically afterwards."""
     depth = gripper.depth
@@ -220,63 +410,25 @@ def _candidate_grasps(rng, objs, gripper: GripperConfig):
                 top_down(c[2] + r, c, min(1.6 * r, 0.045),
                          np.linspace(-np.pi / 2, np.pi / 2, 5))
         elif obj["kind"] == "box":
-            size = obj["size"]
-            top = c[2] + size[2] / 2
-            grab = min(size[2] * 0.8, 0.045)
-            for ax in (0, 1):
-                if size[ax] < open_w:
-                    y = np.zeros(3)
-                    y[ax] = 1.0
-                    jitter = rng.uniform(-0.1, 0.1)
-                    yj = _canon_y([np.cos(jitter) * y[0] - np.sin(jitter) * y[1],
-                                   np.sin(jitter) * y[0] + np.cos(jitter) * y[1],
-                                   0.0])
-                    cands.append(_frame(
-                        down, yj,
-                        np.array([c[0], c[1], top + depth - grab])))
-            # side grasps: approach along -u into the +-u faces, close
-            # along the other horizontal axis
-            for ax in (0, 1):
-                other = 1 - ax
-                if size[other] >= open_w:
-                    continue
-                zg = min(c[2], TABLE_HEIGHT + size[2] - 0.012)
-                zg = max(zg, TABLE_HEIGHT + gripper.half_hand_thickness
-                         + 0.004)
-                if zg > c[2] + size[2] / 2 - 0.004:
-                    continue
-                grab = min(size[ax] * 0.8, 0.045)
-                for sign in (+1.0, -1.0):
-                    a = np.zeros(3)
-                    a[ax] = -sign
-                    y = np.zeros(3)
-                    y[other] = 1.0
-                    face = c.copy()
-                    face[ax] += sign * size[ax] / 2
-                    base = np.array([face[0], face[1], zg]) \
-                        - (depth - grab) * a
-                    cands.append(_frame(a, _canon_y(y), base))
+            _box_cands(rng, cands, c, obj["size"], gripper)
+        elif obj["kind"] == "ellipsoid":
+            a, b, cv = obj["axes"]
+            if 2 * min(a, b) < open_w:
+                # close across the minor horizontal axis
+                theta0 = 0.0 if a <= b else np.pi / 2
+                top_down(c[2] + cv, c, min(1.2 * cv, 0.04),
+                         theta0 + np.linspace(-0.4, 0.4, 3))
+        elif obj["kind"] in ("lbox", "mug"):
+            for part in obj["parts"]:
+                pc = np.asarray(c, np.float64) + part["offset"]
+                if part["shape"] == "box":
+                    _box_cands(rng, cands, pc, part["size"], gripper)
+                else:
+                    _cyl_cands(rng, cands, top_down, pc, part["radius"],
+                               part["height"], gripper)
         else:   # cylinder
-            r, h = obj["radius"], obj["height"]
-            top = c[2] + h / 2
-            if 2 * r < open_w:
-                top_down(top, c, min(h * 0.8, 0.045),
-                         np.linspace(-np.pi / 2, np.pi / 2, 3))
-                # side grasps at 4 azimuths, 1-2 heights
-                zlo = TABLE_HEIGHT + gripper.half_hand_thickness + 0.004
-                zhi = top - 0.008
-                if zhi > zlo:
-                    grab = min(r + 0.02, 0.05)
-                    for phi in rng.uniform(0, 2 * np.pi) \
-                            + np.linspace(0, 2 * np.pi, 4, endpoint=False):
-                        a = np.array([-np.cos(phi), -np.sin(phi), 0.0])
-                        y = np.array([-np.sin(phi), np.cos(phi), 0.0])
-                        for zg in np.linspace(zlo, zhi,
-                                              2 if zhi - zlo > 0.03 else 1):
-                            near = np.array([c[0] + r * np.cos(phi),
-                                             c[1] + r * np.sin(phi), zg])
-                            base = near - (depth - grab) * a
-                            cands.append(_frame(a, _canon_y(y), base))
+            _cyl_cands(rng, cands, top_down, c, obj["radius"],
+                       obj["height"], gripper)
     return cands
 
 
@@ -453,9 +605,18 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
     ext_x, ext_y = float(table_extent[0]), float(table_extent[1])
     n_floor = int(num_view * floor_frac)
 
-    for attempt in range(4):
+    shape_lib = "rich" if layout == "randomized" else "basic"
+
+    # rich scenes get two extra attempts that fall back to the basic
+    # library (composites cull more candidates; a scene must still end
+    # with >= 4 valid GT grasps)
+    attempts = 6 if shape_lib == "rich" else 4
+    for attempt in range(attempts):
+        lib = shape_lib if attempt < 4 else "basic"
         objs = _place_objects(rng, max(num_objects - attempt, 2),
-                              distractors=distractors)
+                              distractors=distractors if attempt < 4
+                              else 0,
+                              shape_lib=lib)
 
         # dense surface samples (2x the view budget; occlusion culls ~40%)
         n_raw = num_view * 2
