@@ -306,3 +306,28 @@ class TestREGNet:
         opt = trainer.make_optimizer(c3, steps_per_epoch=1)
         with pytest.raises(AssertionError, match="refine_iters"):
             trainer.make_train_step(model, opt, c3, stage="refine")
+
+
+class TestBucketCenterSelect:
+    def test_forward_with_bucket_center_select(self, cfg, pc,
+                                               model_and_vars):
+        """region.center_select='bucket' runs the full cascade with the
+        same output structure and its centers are high-score points."""
+        import dataclasses
+
+        model, variables = model_and_vars
+        c2 = dataclasses.replace(cfg, region=dataclasses.replace(
+            cfg.region, center_select="bucket"))
+        out = REGNet(c2).apply(variables, pc, train=False,
+                               rngs={"sampling": jax.random.PRNGKey(3)})
+        B, NC = pc.shape[0], cfg.region.center_num
+        assert out.centers.shape == (B, NC, pc.shape[-1])
+        assert out.final_grasps.shape[1] == NC
+        # selected centers carry scores above the threshold whenever the
+        # cloud has enough positives (fallback rows aside)
+        sc = np.asarray(out.score)
+        idx = np.asarray(out.center_index)
+        picked = np.take_along_axis(sc, idx, axis=1)
+        for b in range(B):
+            if (sc[b] > cfg.region.score_thre).sum() >= NC:
+                assert (picked[b] > cfg.region.score_thre).all()
