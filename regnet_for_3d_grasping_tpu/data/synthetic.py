@@ -658,7 +658,22 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
         vis = _visible_mask(all_pts, cam)
         sel = np.flatnonzero(vis)
         n_sel = num_view - n_floor
-        sel = rng.choice(sel, n_sel, replace=len(sel) < n_sel)
+        if layout == "randomized":
+            # Kinect-like return density: returns per unit surface area
+            # scale as cos(incidence)/range^2 — real clouds are dense on
+            # near, camera-facing surfaces and sparse at grazing angles,
+            # while raw surface samples are uniform.  The score net
+            # consumes local neighborhoods, so the density pattern is
+            # part of the input distribution.
+            d = all_pts[sel] - cam
+            r2 = (d ** 2).sum(1)
+            ray = d / np.sqrt(np.maximum(r2, 1e-12))[:, None]
+            cos_inc = np.abs((ray * all_nrm[sel]).sum(1))
+            w = np.maximum(cos_inc, 0.15) / np.maximum(r2, 1e-6)
+            p = w / w.sum()
+            sel = rng.choice(sel, n_sel, replace=len(sel) < n_sel, p=p)
+        else:
+            sel = rng.choice(sel, n_sel, replace=len(sel) < n_sel)
         view, view_nrm = all_pts[sel], all_nrm[sel]
         label = all_lbl[sel]
 
@@ -705,7 +720,19 @@ def make_synthetic_scene(seed: int, num_view: int = 12000,
     else:
         score = np.zeros(num_view, np.float32)
     if color_mode == "coherent":
-        base = rng.rand(int(label.max()) + 1, 3).astype(np.float32)
+        if layout == "randomized":
+            # real indoor surfaces are bright and weakly saturated (the
+            # committed Kinect clouds: channel means 0.71-0.82 with
+            # near-equal r/g/b); uniform-random rgb base colors are far
+            # more saturated than anything the sensor sees.  Draw
+            # value/saturation explicitly: base = v*(1-s) + s*hue.
+            n_base = int(label.max()) + 1
+            v = rng.uniform(0.25, 1.0, (n_base, 1)).astype(np.float32)
+            s = rng.uniform(0.1, 0.8, (n_base, 1)).astype(np.float32)
+            hue = rng.rand(n_base, 3).astype(np.float32)
+            base = v * ((1 - s) + s * hue)
+        else:
+            base = rng.rand(int(label.max()) + 1, 3).astype(np.float32)
         color = base[label.astype(np.int64)]
         color = color + rng.randn(num_view, 3).astype(np.float32) * 0.06
         light = np.float32(rng.uniform(-0.15, 0.35))
