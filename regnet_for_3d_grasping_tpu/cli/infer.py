@@ -70,6 +70,14 @@ def build_parser():
                         "(region.center_select): 'bucket' = one-pass "
                         "stratified best-score pick, no sequential FPS "
                         "loop (quality-gated serving option)")
+    p.add_argument("--refine-pose", default="full",
+                   choices=["full", "center", "off"],
+                   help="refinement ablation (region.refine_pose): "
+                        "'center' keeps the stage-2 orientation and "
+                        "applies only the refined translation + score; "
+                        "'off' keeps the whole stage-2 pose (classifier-"
+                        "only refinement). Quality-gated serving knob "
+                        "for domain-shifted inputs")
     return p
 
 
@@ -134,6 +142,7 @@ def main(argv=None):
         "region.center_fps_groups": fps_groups,
         "model.fps_groups": fps_groups,
         "region.center_select": args.center_select,
+        "region.refine_pose": args.refine_pose,
     })
     dtype = jnp.bfloat16 if (args.bf16 or args.fast) else None
     model = REGNet(cfg, dtype=dtype)

@@ -222,6 +222,18 @@ class REGNet(nn.Module):
                 nxt = jnp.concatenate(
                     [cur[..., :3] + refine_reg[..., :3] * cfg.gripper.depth,
                      cur[..., 3:] + refine_reg[..., 3:]], axis=-1)
+                # refinement-ablation serving knob (RegionConfig.
+                # refine_pose): optionally keep the stage-2 orientation
+                # ("center") or the whole stage-2 pose ("off") while
+                # still using the refined score + classifier; static
+                # config, so XLA sees a single concat either way
+                if region.refine_pose == "center":
+                    nxt = jnp.concatenate(
+                        [nxt[..., :3], cur[..., 3:7], nxt[..., 7:]],
+                        axis=-1)
+                elif region.refine_pose == "off":
+                    nxt = jnp.concatenate(
+                        [cur[..., :7], nxt[..., 7:]], axis=-1)
                 # rows whose crop is empty are masked downstream
                 # (refine_accept &= crop_valid), so the residual applies
                 # unconditionally — identical to the single-shot path

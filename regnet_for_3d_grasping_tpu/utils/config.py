@@ -120,6 +120,19 @@ class RegionConfig:
     # is a real INFERENCE-time extension (training requires 1 — the
     # stage-3 residual loss is defined against the stage-2 proposals).
     refine_iters: int = 1
+    # Refinement-ablation serving knob (round 5).  The refine head can
+    # hurt on domain-shifted inputs — on the reference's committed real
+    # Kinect clouds it rotates the closing axis ~0.2-0.5 (vector delta)
+    # while moving centers only ~1 cm, pushing stage-2 survivors into
+    # back/finger collisions (docs/evidence/real_data_r5*.json).
+    #   "full"   — reference behaviour: apply the whole residual.
+    #   "center" — apply the translation + score residuals, keep the
+    #              stage-2 orientation (axis_y, theta).
+    #   "off"    — classifier-only: stage-2 pose + refined score; the
+    #              refine stage becomes a pure acceptance gate.
+    # Quality-gate like every serving knob (frozen suite + real-cloud
+    # funnels, tools/benchmark_eval.py --refine-pose).
+    refine_pose: str = "full"
     # Stratified approximate FPS for grasp-center selection (ops/fps.py
     # `groups`): 1 = exact (default); quality-gate changes like
     # ModelConfig.fps_groups

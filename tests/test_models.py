@@ -331,3 +331,46 @@ class TestBucketCenterSelect:
         for b in range(B):
             if (sc[b] > cfg.region.score_thre).sum() >= NC:
                 assert (picked[b] > cfg.region.score_thre).all()
+
+
+class TestRefinePoseAblation:
+    """region.refine_pose serving knob (round 5): 'center' keeps the
+    stage-2 orientation, 'off' keeps the whole stage-2 pose; both keep
+    the refined score channels and the classifier acceptance."""
+
+    def _run(self, cfg, pc, variables, pose):
+        import dataclasses
+        c = dataclasses.replace(cfg, region=dataclasses.replace(
+            cfg.region, refine_pose=pose))
+        return REGNet(c).apply(
+            variables, pc, train=False,
+            rngs={"sampling": jax.random.PRNGKey(21)})
+
+    def test_center_keeps_stage2_orientation(self, cfg, pc,
+                                             model_and_vars):
+        model, variables = model_and_vars
+        full = self._run(cfg, pc, variables, "full")
+        cen = self._run(cfg, pc, variables, "center")
+        # same crop stream -> identical proposals & classifier outputs
+        np.testing.assert_array_equal(np.asarray(full.proposals),
+                                      np.asarray(cen.proposals))
+        np.testing.assert_array_equal(np.asarray(full.refine_logits),
+                                      np.asarray(cen.refine_logits))
+        f3, c3 = np.asarray(full.final_grasps), np.asarray(cen.final_grasps)
+        p = np.asarray(full.proposals)
+        # orientation channels come from stage 2, translation + scores
+        # from the refinement
+        np.testing.assert_array_equal(c3[..., 3:7], p[..., 3:7])
+        np.testing.assert_array_equal(c3[..., :3], f3[..., :3])
+        np.testing.assert_array_equal(c3[..., 7:], f3[..., 7:])
+
+    def test_off_keeps_stage2_pose(self, cfg, pc, model_and_vars):
+        model, variables = model_and_vars
+        full = self._run(cfg, pc, variables, "full")
+        off = self._run(cfg, pc, variables, "off")
+        f3, o3 = np.asarray(full.final_grasps), np.asarray(off.final_grasps)
+        p = np.asarray(full.proposals)
+        np.testing.assert_array_equal(o3[..., :7], p[..., :7])
+        np.testing.assert_array_equal(o3[..., 7:], f3[..., 7:])
+        np.testing.assert_array_equal(np.asarray(off.refine_accept),
+                                      np.asarray(full.refine_accept))

@@ -56,6 +56,10 @@ def main():
                    choices=["fps", "bucket"],
                    help="center-selection algorithm under test "
                         "(region.center_select)")
+    p.add_argument("--refine-pose", default="full",
+                   choices=["full", "center", "off"],
+                   help="refinement-ablation knob under test "
+                        "(region.refine_pose)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verify-only", action="store_true")
@@ -113,6 +117,7 @@ def main():
         "region.center_fps_groups": args.center_fps_groups,
         "region.slab_cell": args.slab_cell,
         "region.center_select": args.center_select,
+        "region.refine_pose": args.refine_pose,
     })
     model = REGNet(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     fwd = jax.jit(lambda v, x, k: model.apply(
@@ -200,6 +205,7 @@ def main():
                    "center_fps_groups": args.center_fps_groups,
                    "slab_cell": args.slab_cell,
                    "center_select": args.center_select,
+                   "refine_pose": args.refine_pose,
                    "dtype": "bf16" if args.bf16 else "f32",
                    "normals": "precomputed(scene_normal)",
                    "backend": jax.default_backend()},

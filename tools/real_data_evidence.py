@@ -105,6 +105,13 @@ def main():
                         "the r3-weights collapse record)")
     p.add_argument("--fast", action="store_true",
                    help="serving config (bf16+slab+fpsG8) for the forward")
+    p.add_argument("--refine-pose", default="full",
+                   choices=["full", "center", "off"],
+                   help="refinement-ablation knob (region.refine_pose) "
+                        "for the forward")
+    p.add_argument("--accept-margin", type=float, default=0.0,
+                   help="refine-classifier acceptance margin for the "
+                        "forward (tools/calibrate_accept.py)")
     args = p.parse_args()
 
     from regnet_for_3d_grasping_tpu.utils import pcd as pcdio
@@ -126,13 +133,19 @@ def main():
                   goldens[name]["colors"].astype(np.float64))
 
     argv = ["--folder-name", in_dir, "--checkpoint", args.weights,
-            "--no-eval"]
+            "--no-eval", "--refine-pose", args.refine_pose,
+            "--accept-margin", str(args.accept_margin)]
     if args.fast:
         argv.append("--fast")
     infer.main(argv)
 
+    config_tag = "fast" if args.fast else "exact"
+    if args.refine_pose != "full":
+        config_tag += f"+refine-{args.refine_pose}"
+    if args.accept_margin:
+        config_tag += f"+margin{args.accept_margin:g}"
     report = {"weights": args.weights,
-              "config": "fast" if args.fast else "exact",
+              "config": config_tag,
               "clouds": {}}
     for name in CLOUDS:
         with open(os.path.join(work, "real_data_predict", name + ".p"),
