@@ -55,6 +55,10 @@ def main():
                         "precision per margin)")
     p.add_argument("--fast", action="store_true",
                    help="serving config (bf16+slab+fpsG8)")
+    p.add_argument("--refine-pose", default="full",
+                   choices=["full", "center", "off"],
+                   help="refinement-ablation knob (region.refine_pose) "
+                        "to calibrate under")
     args = p.parse_args()
 
     import jax
@@ -73,12 +77,13 @@ def main():
         eval_validate, view_num_from_path)
 
     if args.tiny:
-        cfg = tiny_config()
+        cfg = tiny_config(**{"region.refine_pose": args.refine_pose})
     else:
         over = {
             "region.center_num": args.center_num,
             "region.group_num_more": args.group_num_more,
             "region.num_points": args.num_points,
+            "region.refine_pose": args.refine_pose,
         }
         if args.fast:
             over.update({"model.fps_groups": 8,

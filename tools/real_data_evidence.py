@@ -173,6 +173,27 @@ def main():
             "ours_stage3": int(len(ours["grasp_stage3"])),
             "reference_stage3": int(len(ref_ok)),
         }
+        # Serving-protocol comparison (round-5 correction): the
+        # reference's committed sets are POST-funnel — eval_notruth
+        # (utils.py:391-425) runs eval_test (the view-collision filter,
+        # dataset_utils/eval_score/eval.py:4-12) on every set before
+        # pickling, so `grasp_stage2`/`grasp_stage3` sizes there are
+        # funnel-SURVIVOR counts out of the same 4000 proposals, not raw
+        # model output.  The apples-to-apples capability number is
+        # therefore OUR funnel-survivor count (funnel[...]["survive"])
+        # vs THEIR saved set size — not vs their survive-rate-of-saved
+        # (which only measures filter-boundary agreement).
+        entry["serving_protocol"] = {
+            "reference_saved": {
+                k: int(len(np.asarray(golden[k])))
+                for k in ("grasp_stage2", "grasp_stage3",
+                          "grasp_stage3_stage2", "grasp_stage3_score")
+                if k in golden},
+            "ours_served": {
+                k: int(entry["funnel"][f"ours_{k}"]["survive"])
+                for k in ("grasp_stage2", "grasp_stage3")
+                if f"ours_{k}" in entry["funnel"]},
+        }
         # score-distribution comparison (per-point graspability)
         entry["score_hist_ours"] = np.histogram(
             ours["scores"], bins=10, range=(0, 1))[0].tolist()
