@@ -86,3 +86,30 @@ class TestReferenceFunnelCanary:
                 assert abs(got[key] - val) <= TOL, (name, key)
             assert "ours_grasp_stage2" in entry["funnel"]
             assert entry["counts"]["ours_stage2"] > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                    reason="reference real-data goldens not mounted")
+def test_reference_sets_are_post_funnel_artifacts():
+    """Serving-protocol pin (round 5): the reference's committed real-
+    data pickles are POST-funnel — eval_notruth (utils.py:391-425)
+    filters every set through eval_test before saving.  The saved set
+    sizes are therefore funnel-survivor counts out of center_num=4000
+    proposals; any capability comparison must put OUR funnel-survivor
+    counts against THESE numbers (tools/real_data_evidence.py
+    serving_protocol block)."""
+    import pickle
+
+    SAVED = {
+        "0000_cloud": {"grasp_stage2": 698, "grasp_stage3": 555,
+                       "grasp_stage3_stage2": 523,
+                       "grasp_stage3_score": 396},
+        "0001_cloud": {"grasp_stage2": 364, "grasp_stage3": 147,
+                       "grasp_stage3_stage2": 97,
+                       "grasp_stage3_score": 3},
+    }
+    for name, want in SAVED.items():
+        with open(os.path.join(REF_DIR, name + ".p"), "rb") as f:
+            golden = pickle.load(f)
+        for key, n in want.items():
+            assert len(np.asarray(golden[key])) == n, (name, key)
