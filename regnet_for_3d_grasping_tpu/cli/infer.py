@@ -70,6 +70,17 @@ def build_parser():
                         "(region.center_select): 'bucket' = one-pass "
                         "stratified best-score pick, no sequential FPS "
                         "loop (quality-gated serving option)")
+    p.add_argument("--center-min-z", type=float, default=None,
+                   help="above-plane center prior (RegionConfig."
+                        "center_min_z): restrict candidate centers to "
+                        "points above this z — use the evaluation "
+                        "protocol's table plane when the physical table "
+                        "sits below it (real Kinect clouds)")
+    p.add_argument("--pose-search", type=int, default=0,
+                   help="serving pose search (RegionConfig.pose_search_"
+                        "k): try K theta variants per proposal, keep "
+                        "the funnel-surviving one nearest the "
+                        "prediction; 0 = off (reference behaviour)")
     p.add_argument("--refine-pose", default="full",
                    choices=["full", "center", "off"],
                    help="refinement ablation (region.refine_pose): "
@@ -143,6 +154,8 @@ def main(argv=None):
         "model.fps_groups": fps_groups,
         "region.center_select": args.center_select,
         "region.refine_pose": args.refine_pose,
+        "region.center_min_z": args.center_min_z,
+        "region.pose_search_k": args.pose_search,
     })
     dtype = jnp.bfloat16 if (args.bf16 or args.fast) else None
     model = REGNet(cfg, dtype=dtype)

@@ -63,6 +63,12 @@ def build_parser():
     p.add_argument("--synthetic-scenes", type=int, default=0,
                    help="generate N synthetic scenes under data-path "
                         "first (no real dataset available)")
+    p.add_argument("--gt-robust", type=int, default=0,
+                   help="pose-robust GT labeling: candidates must also "
+                        "survive N jittered poses (sigma 6mm/0.12rad, "
+                        ">=75%% pass) — kills table-skimming side "
+                        "grasps that do not transfer to real sensor "
+                        "clouds (data/synthetic._validate_grasps_robust)")
     p.add_argument("--scene-layout", type=str, default="origin",
                    choices=["origin", "randomized"],
                    help="synthetic scene layout distribution "
@@ -224,7 +230,8 @@ def main(argv=None):
     if args.synthetic_scenes:
         write_synthetic_dataset(args.data_path, args.synthetic_scenes,
                                 num_view=args.num_points,
-                                layout=args.scene_layout)
+                                layout=args.scene_layout,
+                                gt_robust=args.gt_robust)
     stage = MODE_STAGE[args.mode]
     is_train = args.mode in ("train", "pretrain_score", "pretrain_region")
 

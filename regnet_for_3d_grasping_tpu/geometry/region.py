@@ -36,7 +36,9 @@ from regnet_for_3d_grasping_tpu.utils.config import GripperConfig
 def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
                          score_thre: float,
                          groups: int = 1,
-                         method: str = "fps") -> Tuple[jax.Array, jax.Array]:
+                         method: str = "fps",
+                         min_z: float | None = None
+                         ) -> Tuple[jax.Array, jax.Array]:
     """Pick grasp-center candidates among high-graspability points.
 
     Args:
@@ -55,8 +57,19 @@ def select_score_centers(pc: jax.Array, score: jax.Array, center_num: int,
     -> positives are repeated; zero positives -> sample from all points.
     Both are handled inside masked FPS (ops/fps.py) / by widening the
     bucket mask to all points for all-negative rows.
+
+    ``min_z`` (RegionConfig.center_min_z, serving-only) additionally
+    restricts candidates to points above the evaluation protocol's table
+    plane; rows where that empties fall back to any-point-above-plane,
+    then to the unmasked positives (fixed shapes throughout).
     """
     positive = score > score_thre
+    if min_z is not None:
+        above = pc[..., 2] > min_z
+        cand = positive & above
+        cand = jnp.where(cand.any(axis=-1, keepdims=True), cand, above)
+        positive = jnp.where(cand.any(axis=-1, keepdims=True), cand,
+                             positive)
     if method == "bucket":
         # zero-positive rows fall back to all points (reference
         # _select_score_center's random-sampling branch)

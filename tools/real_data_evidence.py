@@ -112,6 +112,10 @@ def main():
     p.add_argument("--accept-margin", type=float, default=0.0,
                    help="refine-classifier acceptance margin for the "
                         "forward (tools/calibrate_accept.py)")
+    p.add_argument("--center-min-z", type=float, default=None,
+                   help="above-plane center prior (cli.infer flag)")
+    p.add_argument("--pose-search", type=int, default=0,
+                   help="theta-grid pose search K (cli.infer flag)")
     args = p.parse_args()
 
     from regnet_for_3d_grasping_tpu.utils import pcd as pcdio
@@ -137,6 +141,10 @@ def main():
             "--accept-margin", str(args.accept_margin)]
     if args.fast:
         argv.append("--fast")
+    if args.center_min_z is not None:
+        argv += ["--center-min-z", str(args.center_min_z)]
+    if args.pose_search:
+        argv += ["--pose-search", str(args.pose_search)]
     infer.main(argv)
 
     config_tag = "fast" if args.fast else "exact"
@@ -144,6 +152,10 @@ def main():
         config_tag += f"+refine-{args.refine_pose}"
     if args.accept_margin:
         config_tag += f"+margin{args.accept_margin:g}"
+    if args.center_min_z is not None:
+        config_tag += f"+minz{args.center_min_z:g}"
+    if args.pose_search:
+        config_tag += f"+psearch{args.pose_search}"
     report = {"weights": args.weights,
               "config": config_tag,
               "clouds": {}}
