@@ -81,6 +81,12 @@ def build_parser():
                         "k): try K theta variants per proposal, keep "
                         "the funnel-surviving one nearest the "
                         "prediction; 0 = off (reference behaviour)")
+    p.add_argument("--refine-guard", action="store_true",
+                   help="survivor-preserving refinement "
+                        "(RegionConfig.refine_guard): serve the stage-2 "
+                        "pose wherever the refined pose fails the "
+                        "view-collision funnel but the stage-2 pose "
+                        "survives it (full-cloud funnel, same dispatch)")
     p.add_argument("--refine-pose", default="full",
                    choices=["full", "center", "off"],
                    help="refinement ablation (region.refine_pose): "
@@ -156,6 +162,7 @@ def main(argv=None):
         "region.refine_pose": args.refine_pose,
         "region.center_min_z": args.center_min_z,
         "region.pose_search_k": args.pose_search,
+        "region.refine_guard": args.refine_guard,
     })
     dtype = jnp.bfloat16 if (args.bf16 or args.fast) else None
     model = REGNet(cfg, dtype=dtype)

@@ -133,6 +133,49 @@ def pose_search_thetas(points: jax.Array, proposals: jax.Array, k: int,
     return jax.vmap(one)(points, proposals)
 
 
+def funnel_guard_refine(points: jax.Array, refined: jax.Array,
+                        stage2: jax.Array, subsample: int,
+                        table_height: float, gripper) -> jax.Array:
+    """Survivor-preserving refinement guard (serving extension).
+
+    Runs the view-collision funnel (eval/collision.view_check_funnel,
+    test-path settings) on the refined pose AND its stage-2 input for
+    every proposal, then serves per proposal:
+
+      * the refined pose where it survives (refinement kept its win);
+      * else the stage-2 pose where THAT survives (refinement broke a
+        working grasp — undo it);
+      * else the refined pose (reference behaviour — nothing survived).
+
+    Score/classifier channels (7:) always come from the refined head —
+    only the pose channels (center, axis_y, theta) are guarded, so the
+    acceptance logic downstream is unchanged.  With ``subsample == 1``
+    the funnel is exact, so every stage-2 survivor yields a stage-3
+    survivor by construction.  The reference always serves the refined
+    pose (gripper_region_network.py:210-215); this guard exists because
+    an out-of-domain refine head can actively destroy funnel survivors
+    (docs/evidence/real_data_r5_knobs.json: 241 -> 18 on 0000_cloud).
+    """
+    from regnet_for_3d_grasping_tpu.eval.collision import view_check_funnel
+    from regnet_for_3d_grasping_tpu.utils.config import EvalConfig
+
+    ecfg = EvalConfig()
+    nc = refined.shape[1]
+
+    def one(pts, ref, s2):
+        sub = pts[::subsample].astype(jnp.float32)
+        both = jnp.concatenate([ref[:, :8], s2[:, :8]]).astype(jnp.float32)
+        masks = view_check_funnel(sub, both, table_height, gripper.depth,
+                                  gripper, ecfg, table_sign=+1.0)
+        surv_ref, surv_s2 = masks["survive"][:nc], masks["survive"][nc:]
+        use_s2 = (~surv_ref) & surv_s2
+        pose = jnp.where(use_s2[:, None], s2[:, :7].astype(ref.dtype),
+                         ref[:, :7])
+        return jnp.concatenate([pose, ref[:, 7:]], axis=-1)
+
+    return jax.vmap(one)(points, refined, stage2)
+
+
 class REGNet(nn.Module):
     """ScoreNet + GRN + RefineNet in one jittable forward."""
 
@@ -304,6 +347,14 @@ class REGNet(nn.Module):
                 cur = jax.lax.stop_gradient(nxt) \
                     if it + 1 < max(region.refine_iters, 1) else nxt
             final = cur
+            # survivor-preserving guard (RegionConfig.refine_guard):
+            # serve the stage-2 pose wherever refinement broke a funnel
+            # survivor; pose channels only, acceptance logic untouched
+            if region.refine_guard:
+                final = funnel_guard_refine(
+                    pc[..., :3], final, proposals_sg,
+                    region.refine_guard_subsample,
+                    region.pose_search_table, cfg.gripper)
             # margin 0.0 == the reference's argmax acceptance (grn:210-215)
             margin = region.accept_margin
             refine_accept = (refine_logits[..., 1] - refine_logits[..., 0]

@@ -155,6 +155,21 @@ class RegionConfig:
     pose_search_k: int = 0
     pose_search_subsample: int = 4   # cloud stride for the search funnel
     pose_search_table: float = 0.75  # protocol table plane for survival
+    # Funnel-guarded refinement (round 5, serving-only): after the refine
+    # stage, run the view-collision funnel on BOTH the refined pose and
+    # its stage-2 input (full cloud, one extra fused check on the same
+    # dispatch — tools/ab_eval_ondevice.py measured the funnel's on-chip
+    # cost) and keep the refined pose only where it survives, falling
+    # back to the stage-2 pose where THAT survives (score/classifier
+    # channels always come from the refined head).  Serving guard for
+    # out-of-domain refinement: on the committed real Kinect clouds the
+    # refine residuals destroy stage-2 funnel survivors (241 -> 18 on
+    # 0000_cloud, docs/evidence/real_data_r5_knobs.json); with the guard
+    # stage-3 survivors are >= stage-2 survivors by construction.  The
+    # reference has no equivalent (it always serves the refined pose,
+    # gripper_region_network.py:210-215); defaults off.
+    refine_guard: bool = False
+    refine_guard_subsample: int = 1  # 1 = exact full-cloud funnel
     # Stratified approximate FPS for grasp-center selection (ops/fps.py
     # `groups`): 1 = exact (default); quality-gate changes like
     # ModelConfig.fps_groups

@@ -134,6 +134,96 @@ class TestPoseSearch:
                                    np.asarray(props[..., 6]), atol=0)
 
 
+class TestRefineGuard:
+    """funnel_guard_refine: serve the stage-2 pose wherever refinement
+    broke a funnel survivor (same post scene as TestPoseSearch)."""
+
+    def _scene(self):
+        rng = np.random.RandomState(0)
+        table = np.c_[rng.uniform(-0.3, 0.3, (2000, 2)),
+                      np.full(2000, 0.75)]
+        post = np.c_[rng.uniform(-0.008, 0.008, (400, 2)),
+                     rng.uniform(0.75, 0.90, 400)]
+        pts = np.concatenate([table, post]).astype(np.float32)
+        return jnp.asarray(pts[None])
+
+    def _grasp(self, theta, score=0.9):
+        g = np.zeros(10, np.float32)
+        g[:3] = [0.0, 0.0, 0.90]
+        g[3:6] = [0.0, 1.0, 0.0]
+        g[6] = theta
+        g[7] = score
+        return g
+
+    def test_guard_restores_broken_survivor(self):
+        from regnet_for_3d_grasping_tpu.models.regnet import (
+            funnel_guard_refine)
+        pts = self._scene()
+        s2 = jnp.asarray(np.stack([self._grasp(-np.pi / 2)])[None])
+        refined = jnp.asarray(np.stack([self._grasp(0.0, score=0.7)])[None])
+        out = funnel_guard_refine(pts, refined, s2, 1, 0.75,
+                                  GripperConfig())
+        # pose channels come from stage-2, score stays refined
+        np.testing.assert_allclose(np.asarray(out[..., :7]),
+                                   np.asarray(s2[..., :7]), atol=0)
+        np.testing.assert_allclose(np.asarray(out[..., 7]),
+                                   np.asarray(refined[..., 7]), atol=0)
+
+    def test_surviving_refinement_kept(self):
+        from regnet_for_3d_grasping_tpu.models.regnet import (
+            funnel_guard_refine)
+        pts = self._scene()
+        s2 = jnp.asarray(np.stack([self._grasp(0.0)])[None])
+        refined = jnp.asarray(
+            np.stack([self._grasp(-np.pi / 2, score=0.7)])[None])
+        out = funnel_guard_refine(pts, refined, s2, 1, 0.75,
+                                  GripperConfig())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(refined),
+                                   atol=0)
+
+    def test_neither_survives_keeps_refined(self):
+        from regnet_for_3d_grasping_tpu.models.regnet import (
+            funnel_guard_refine)
+        rng = np.random.RandomState(1)
+        pts = jnp.asarray(
+            rng.uniform(-0.2, 0.2, (1, 3000, 3)).astype(np.float32)
+            + np.array([0, 0, 0.9], np.float32))
+        s2 = jnp.asarray(np.stack([self._grasp(0.3)])[None])
+        refined = jnp.asarray(np.stack([self._grasp(1.1, 0.7)])[None])
+        out = funnel_guard_refine(pts, refined, s2, 1, 0.75,
+                                  GripperConfig())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(refined),
+                                   atol=0)
+
+    def test_stage2_survivors_preserved_at_stage3(self):
+        """The construction guarantee: every stage-2 survivor's row
+        survives the funnel at stage 3 after guarding (subsample=1)."""
+        from regnet_for_3d_grasping_tpu.eval.collision import (
+            view_check_funnel)
+        from regnet_for_3d_grasping_tpu.models.regnet import (
+            funnel_guard_refine)
+        pts = self._scene()
+        rng = np.random.RandomState(3)
+        # mix of surviving / colliding stage-2 poses with noisy refinement
+        thetas = rng.uniform(-np.pi, np.pi, 16)
+        s2 = np.stack([self._grasp(t) for t in thetas])[None]
+        refined = s2.copy()
+        refined[..., :3] += rng.randn(1, 16, 3) * 0.05   # break centers
+        refined[..., 6] += rng.randn(1, 16) * 1.5        # break thetas
+        out = funnel_guard_refine(jnp.asarray(pts), jnp.asarray(refined),
+                                  jnp.asarray(s2), 1, 0.75,
+                                  GripperConfig())
+        gc, ec = GripperConfig(), EvalConfig()
+        f_s2 = view_check_funnel(pts[0], jnp.asarray(s2[0, :, :8]), 0.75,
+                                 gc.depth, gc, ec)
+        f_out = view_check_funnel(pts[0], out[0, :, :8], 0.75,
+                                  gc.depth, gc, ec)
+        s2_surv = np.asarray(f_s2["survive"])
+        out_surv = np.asarray(f_out["survive"])
+        assert s2_surv.any()                      # scene exercises the claim
+        assert (out_surv | ~s2_surv).all()        # stage3 >= stage2
+
+
 class TestCascadeSmoke:
     def test_forward_with_serving_knobs(self, rng):
         """Full cascade compiles + runs with pose search and the
@@ -148,6 +238,8 @@ class TestCascadeSmoke:
             "region.gripper_num": 16,
             "region.center_min_z": 0.75,
             "region.pose_search_k": 4,
+            "region.refine_guard": True,
+            "region.refine_guard_subsample": 2,
             "model.num_centroids": (256, 64, 16),
             "model.num_neighbours": (16, 16, 16),
         })

@@ -60,6 +60,15 @@ def main():
                    choices=["full", "center", "off"],
                    help="refinement-ablation knob under test "
                         "(region.refine_pose)")
+    p.add_argument("--center-min-z", type=float, default=None,
+                   help="above-plane center prior "
+                        "(RegionConfig.center_min_z)")
+    p.add_argument("--pose-search", type=int, default=0,
+                   help="theta-grid pose search K "
+                        "(RegionConfig.pose_search_k)")
+    p.add_argument("--refine-guard", action="store_true",
+                   help="survivor-preserving refinement "
+                        "(RegionConfig.refine_guard)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--verify-only", action="store_true")
@@ -118,6 +127,9 @@ def main():
         "region.slab_cell": args.slab_cell,
         "region.center_select": args.center_select,
         "region.refine_pose": args.refine_pose,
+        "region.center_min_z": args.center_min_z,
+        "region.pose_search_k": args.pose_search,
+        "region.refine_guard": args.refine_guard,
     })
     model = REGNet(cfg, dtype=jnp.bfloat16 if args.bf16 else None)
     fwd = jax.jit(lambda v, x, k: model.apply(
@@ -206,6 +218,9 @@ def main():
                    "slab_cell": args.slab_cell,
                    "center_select": args.center_select,
                    "refine_pose": args.refine_pose,
+                   "center_min_z": args.center_min_z,
+                   "pose_search_k": args.pose_search,
+                   "refine_guard": args.refine_guard,
                    "dtype": "bf16" if args.bf16 else "f32",
                    "normals": "precomputed(scene_normal)",
                    "backend": jax.default_backend()},

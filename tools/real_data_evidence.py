@@ -116,6 +116,8 @@ def main():
                    help="above-plane center prior (cli.infer flag)")
     p.add_argument("--pose-search", type=int, default=0,
                    help="theta-grid pose search K (cli.infer flag)")
+    p.add_argument("--refine-guard", action="store_true",
+                   help="survivor-preserving refinement (cli.infer flag)")
     args = p.parse_args()
 
     from regnet_for_3d_grasping_tpu.utils import pcd as pcdio
@@ -145,6 +147,8 @@ def main():
         argv += ["--center-min-z", str(args.center_min_z)]
     if args.pose_search:
         argv += ["--pose-search", str(args.pose_search)]
+    if args.refine_guard:
+        argv.append("--refine-guard")
     infer.main(argv)
 
     config_tag = "fast" if args.fast else "exact"
@@ -156,6 +160,8 @@ def main():
         config_tag += f"+minz{args.center_min_z:g}"
     if args.pose_search:
         config_tag += f"+psearch{args.pose_search}"
+    if args.refine_guard:
+        config_tag += "+guard"
     report = {"weights": args.weights,
               "config": config_tag,
               "clouds": {}}
