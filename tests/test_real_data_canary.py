@@ -88,6 +88,48 @@ class TestReferenceFunnelCanary:
             assert entry["counts"]["ours_stage2"] > 0
 
 
+class TestRound5Floors:
+    """Round-5 real-data floors (VERDICT r4 weak item 2: 'once item 1
+    improves the number, pin the floor').  The committed knobs evidence
+    (weights r5_real + center_min_z 0.75 + pose_search 8,
+    docs/evidence/real_data_r5_knobs.json) measured stage-2 funnel
+    survivors 241/4000 (0000_cloud) and 257/4000 (0001_cloud) — up from
+    round 4's 16 and 6.  Future evidence regenerations must not regress
+    below these floors (small slack for backend/radius-boundary noise).
+    """
+
+    FLOORS = {"0000_cloud": 220, "0001_cloud": 230}
+
+    def _load(self, basename):
+        path = EVIDENCE.replace("real_data_r4.json", basename)
+        if not os.path.exists(path):
+            pytest.skip(f"{basename} not present")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_knobs_artifact_stage2_floor(self):
+        report = self._load("real_data_r5_knobs.json")
+        for name, floor in self.FLOORS.items():
+            f2 = report["clouds"][name]["funnel"]["ours_grasp_stage2"]
+            assert f2["survive"] >= floor, (name, f2)
+
+    def test_knobs_artifact_precision(self):
+        """Pin precision (survivors/total), not only counts: stage-2
+        precision at least 5% on both clouds (round 4 was 0.5-2.4%)."""
+        report = self._load("real_data_r5_knobs.json")
+        for name in self.FLOORS:
+            f2 = report["clouds"][name]["funnel"]["ours_grasp_stage2"]
+            assert f2["survive"] / f2["total"] >= 0.05, (name, f2)
+
+    def test_knobs_artifact_centers_overlap_reference(self):
+        """Round 4's 0.0 center overlap is gone: most of the reference
+        model's grasp centers now lie within tolerance of one of ours
+        (a_within_tol in the evidence = reference->ours coverage)."""
+        report = self._load("real_data_r5_knobs.json")
+        ov = report["clouds"]["0000_cloud"]["center_overlap"]
+        assert ov["a_within_tol"] >= 0.9, ov
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_DIR),
                     reason="reference real-data goldens not mounted")
 def test_reference_sets_are_post_funnel_artifacts():
