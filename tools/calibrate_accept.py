@@ -59,6 +59,12 @@ def main():
                    choices=["full", "center", "off"],
                    help="refinement-ablation knob (region.refine_pose) "
                         "to calibrate under")
+    p.add_argument("--center-min-z", type=float, default=None,
+                   help="above-plane center prior (serving knob)")
+    p.add_argument("--pose-search", type=int, default=0,
+                   help="theta-grid pose search K (serving knob)")
+    p.add_argument("--refine-guard", action="store_true",
+                   help="survivor-preserving refinement (serving knob)")
     args = p.parse_args()
 
     import jax
@@ -84,6 +90,9 @@ def main():
             "region.group_num_more": args.group_num_more,
             "region.num_points": args.num_points,
             "region.refine_pose": args.refine_pose,
+            "region.center_min_z": args.center_min_z,
+            "region.pose_search_k": args.pose_search,
+            "region.refine_guard": args.refine_guard,
         }
         if args.fast:
             over.update({"model.fps_groups": 8,
