@@ -48,7 +48,18 @@ def restore_checkpoint(base_dir: str, epoch: Optional[int] = None,
             raise FileNotFoundError(f"no checkpoints under {base_dir}")
     path = os.path.join(os.path.abspath(base_dir), f"ckpt_{epoch}")
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path, item=target)
+    if target is None:
+        # Restore to host numpy arrays: checkpoints written from a TPU
+        # process embed device shardings that fail to deserialize in a
+        # CPU-forced process (orbax raises "sharding ... Got None");
+        # inference/eval tools only need values, not placement.
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        restored = ckptr.restore(path, restore_args=restore_args)
+    else:
+        restored = ckptr.restore(path, item=target)
     return restored, epoch + 1
 
 
